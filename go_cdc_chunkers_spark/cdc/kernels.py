@@ -1,0 +1,468 @@
+"""Vectorized whole-stream CDC kernels (numpy; no Spark imports).
+
+These are the hot-path kernels the pandas UDFs call. They reproduce the
+reference's cutpoints byte-for-byte (differential-tested against naive.py and
+the reference's own golden fingerprints) while staying vectorized:
+
+  Gear family (FastCDC fastcdc.go:225-253, JC jc.go:205-244, Stadia
+  fastcdc4stadia.go:77-149): the rolling hash fp = (fp << 1) + G[b] forgets
+  bytes older than 64 steps (shifted out mod 2^64), so the *steady-state*
+  value at every position of the whole clip is computable in 6 shifted-add
+  passes (log-doubling). Cut/jump events are sparse (mask hit probability
+  ~2^-popcount(mask)), so we precompute the event positions once with
+  np.flatnonzero and the per-window scan becomes a binary search, with an
+  exact tiny-prefix fixup for the first 63 positions after each hash reset.
+
+  UltraCDC (ultracdc.go:101-240): the Hamming distance to 0xAA over a sliding
+  8-byte window is a plain sliding sum (cumsum), and the low-entropy-string
+  path is a run-length of equal adjacent 8-byte blocks -- both global,
+  alignment-independent precomputes.
+
+Everything is O(len(data)) vector work + O(#chunks + #events) Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from . import naive
+from .opts import (
+    MASK64,
+    ULTRACDC_MASK_L,
+    ULTRACDC_MASK_S,
+    ChunkerOpts,
+    ResolvedOpts,
+    family,
+    resolve,
+)
+from .tables import GEAR, GEAR64, HAMMING_0xAA, get_gear_table
+
+_U64 = np.uint64
+
+# Scratch-buffer pool: large temporaries are reused across calls because this
+# is a per-row kernel -- on a 100 TB run each Python worker would otherwise
+# malloc/free hundreds of MB per clip, and large first-touch allocations are
+# slow and jittery. One pool per process (Spark Python workers are
+# per-executor-core processes, so there is no sharing/contention).
+_POOL: dict[str, np.ndarray] = {}
+
+
+def _scratch(slot: str, n: int, dtype) -> np.ndarray:
+    a = _POOL.get(slot)
+    if a is None or a.dtype != np.dtype(dtype) or len(a) < n:
+        a = np.empty(max(n, 1 << 16), dtype)
+        _POOL[slot] = a
+    return a[:n]
+
+
+def _gear_lookup(table: np.ndarray, data: np.ndarray) -> np.ndarray:
+    out = _scratch("gear_g", len(data), np.uint64)
+    np.take(table, data, out=out)
+    return out
+
+
+def _gear_steady(g: np.ndarray, slot: str = "gs_small") -> np.ndarray:
+    """F[i] = sum_{s=0}^{min(63,i)} g[i-s] << s  (mod 2^64), by log-doubling.
+
+    For i >= 63 this equals the rolling hash fp at i for *any* reset point at
+    least 64 steps back; for i < 63 it is the exact prefix from index 0.
+    """
+    n = len(g)
+    F = _scratch(slot, n, np.uint64)
+    F[:] = g
+    tmp = _scratch(slot + "_tmp", n, np.uint64)
+    shift = 1
+    while shift < 64 and shift < n:
+        np.left_shift(F[: n - shift], _U64(shift), out=tmp[shift:])
+        F[shift:] += tmp[shift:]
+        shift *= 2
+    return F
+
+
+def _first_in_range(events: np.ndarray, lo: int, hi: int) -> int:
+    """First event position in [lo, hi), or -1."""
+    idx = int(np.searchsorted(events, lo, side="left"))
+    if idx < len(events) and events[idx] < hi:
+        return int(events[idx])
+    return -1
+
+
+def _zero_hits(SS: np.ndarray, mask: int, slot: str) -> np.ndarray:
+    """Pooled boolean array: hit[i] = (SS[i] & mask == 0)."""
+    n = len(SS)
+    tmp = _scratch("zp_tmp", n, np.uint64)
+    np.bitwise_and(SS, _U64(mask), out=tmp)
+    hit = _scratch(slot, n, bool)
+    np.equal(tmp, _U64(0), out=hit)
+    return hit
+
+
+def _first_true(hits: np.ndarray, lo: int, hi: int) -> int:
+    """First index in [lo, hi) where hits is True, or -1.
+
+    np.argmax short-circuits on bool input, so the cost is the distance to
+    the first hit, not the range size."""
+    if lo >= hi:
+        return -1
+    seg = hits[lo:hi]
+    idx = int(np.argmax(seg))
+    if seg[idx]:
+        return lo + idx
+    return -1
+
+
+# ---------------------------------------------------------------------------
+# FastCDC (fastcdc.go:225-253)
+# ---------------------------------------------------------------------------
+
+def _fastcdc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> list[int]:
+    N = len(data)
+    if N == 0:
+        return []
+    g = _gear_lookup(table, data)
+    SS = _gear_steady(g, slot="ss")
+    mask_s, mask_l = _U64(r.mask_s), _U64(r.mask_l)
+    zs = _zero_hits(SS, r.mask_s, "fc_zs")
+    zl = _zero_hits(SS, r.mask_l, "fc_zl")
+    min_size, max_size = r.min_size, r.max_size
+
+    lengths: list[int] = []
+    pos = 0
+    while pos < N:
+        n = min(N - pos, max_size)
+        if n <= min_size:
+            lengths.append(n)
+            break
+        normal = r.normal_size if n > r.normal_size else n
+        cut = -1
+        # Exact prefix region [min, min(min+63, n)): fp has < 64 terms.
+        hi = min(min_size + 63, n)
+        seg = _gear_steady(g[pos + min_size : pos + hi])
+        masks = np.where(
+            np.arange(min_size, hi) < normal, mask_s, mask_l
+        ).astype(np.uint64)
+        hit = np.flatnonzero((seg & masks) == 0)
+        if hit.size:
+            cut = min_size + int(hit[0])
+        if cut < 0 and min_size + 63 < n:
+            # Steady maskS region [min+63, normal), then maskL [normal, n).
+            s_hi = min(normal, n)
+            if min_size + 63 < s_hi:
+                q = _first_true(zs, pos + min_size + 63, pos + s_hi)
+                if q >= 0:
+                    cut = q - pos
+            if cut < 0:
+                l_lo = max(normal, min_size + 63)
+                if l_lo < n:
+                    q = _first_true(zl, pos + l_lo, pos + n)
+                    if q >= 0:
+                        cut = q - pos
+        if cut < 0:
+            cut = n
+        lengths.append(cut)
+        pos += cut
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# JC (jc.go:205-244)
+# ---------------------------------------------------------------------------
+
+def _jc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> list[int]:
+    N = len(data)
+    if N == 0:
+        return []
+    g = _gear_lookup(table, data)
+    SS = _gear_steady(g, slot="ss")
+    mask_c, mask_j = r.mask_c, r.mask_j
+    zj = _zero_hits(SS, mask_j, "jc_zj")
+    min_size, max_size, normal_size = r.min_size, r.max_size, r.normal_size
+    jump = r.jump_length
+
+    lengths: list[int] = []
+    pos = 0
+    while pos < N:
+        n = min(N - pos, max_size)
+        if not r.spec_faithful and n <= normal_size:
+            lengths.append(n)
+            break
+        cut = -1
+        i = min_size  # local scan index; fp == 0 before processing index i
+        while i < n:
+            # Exact region [i, min(i+63, n)): fp has < 64 terms since reset.
+            hi = min(i + 63, n)
+            seg = _gear_steady(g[pos + i : pos + hi])
+            ev = np.flatnonzero((seg & _U64(mask_j)) == 0)
+            if ev.size:
+                p = i + int(ev[0])
+                if int(seg[ev[0]]) & mask_c == 0:
+                    cut = p
+                    break
+                i = p + jump
+                continue
+            if hi >= n:
+                break
+            # Steady region from i+63 on: use global events.
+            q = _first_true(zj, pos + i + 63, pos + n)
+            if q < 0:
+                break
+            if int(SS[q]) & mask_c == 0:
+                cut = q - pos
+                break
+            i = (q - pos) + jump
+        if cut < 0:
+            cut = n
+        lengths.append(cut)
+        pos += cut
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# UltraCDC (ultracdc.go:101-240)
+# ---------------------------------------------------------------------------
+
+def _ultracdc_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
+    N = len(data)
+    if N == 0:
+        return []
+    min_size, max_size, normal0 = r.min_size, r.max_size, r.normal_size
+    spec = r.spec_faithful
+
+    if N < min_size + 16:
+        # Too short for any in-window scan (K == 0 in every window): each
+        # window returns n whole.
+        lengths = []
+        pos = 0
+        while pos < N:
+            n = min(N - pos, max_size)
+            lengths.append(n)
+            pos += n
+        return lengths
+
+    h = _scratch("uc_h", N, np.int32)
+    np.take(HAMMING_0xAA, data, out=h)
+    cs = _scratch("uc_cs", N + 1, np.int64)
+    cs[0] = 0
+    np.cumsum(h, out=cs[1:])
+    # W[p] = sum h[p..p+7] for p in [0, N-8]; the distance of window [p, p+8).
+    W = _scratch("uc_w", N - 7, np.int64)
+    np.subtract(cs[8:], cs[: N - 7], out=W)
+    hit_s = _scratch("uc_hs", N - 7, bool)
+    hit_l = _scratch("uc_hl", N - 7, bool)
+    tmp = _scratch("uc_tmp", N - 7, np.int64)
+    np.bitwise_and(W, ULTRACDC_MASK_S, out=tmp)
+    np.equal(tmp, 0, out=hit_s)
+    np.bitwise_and(W, ULTRACDC_MASK_L, out=tmp)
+    np.equal(tmp, 0, out=hit_l)
+    cS = _scratch("uc_cS", N - 6, np.int64)
+    cS[0] = 0
+    np.cumsum(hit_s, out=cS[1:])
+    cL = _scratch("uc_cL", N - 6, np.int64)
+    cL[0] = 0
+    np.cumsum(hit_l, out=cL[1:])
+    # beq[t] = data[t] == data[t-8]; eq8[p] = block [p,p+8) == block [p-8,p).
+    beq = _scratch("uc_beq", N, bool)
+    beq[: min(8, N)] = False
+    if N > 8:
+        np.equal(data[8:], data[:-8], out=beq[8:])
+    ce = _scratch("uc_ce", N + 1, np.int64)
+    ce[0] = 0
+    np.cumsum(beq, out=ce[1:])
+
+    lengths: list[int] = []
+    pos = 0
+    while pos < N:
+        n = min(N - pos, max_size)
+        if n <= min_size or n < min_size + 8:
+            lengths.append(n)
+            pos += n
+            continue
+        normal = normal0 if n > normal0 else n
+        # Blocks i = min+8, min+16, ..., while i <= n-8 -- evaluated in
+        # segments with early exit, so a window that cuts after k blocks
+        # costs O(k), not O(window).
+        K = (n - 8 - (min_size + 8)) // 8 + 1 if n - 8 >= min_size + 8 else 0
+        cut = -1
+        i0 = pos + min_size + 8
+        seg_sz = max(128, min(4096, (normal - min_size) // 4))
+        k_base = 0
+        carry = 0  # consecutive-equal-block run carried across segments
+        while k_base < K and cut < 0:
+            kseg = min(seg_sz, K - k_base)
+            blk = i0 + 8 * (k_base + np.arange(kseg, dtype=np.int64))
+            eq = (ce[blk + 8] - ce[blk]) == 8
+            neq = ~eq
+            # Low-entropy run length at each block (incl. carry-in).
+            idx = np.arange(kseg, dtype=np.int64)
+            last_neq = np.maximum.accumulate(np.where(neq, idx, np.int64(-1)))
+            run = np.where(
+                eq,
+                np.where(last_neq < 0, idx + 1 + carry, idx - last_neq),
+                0,
+            )
+            lest_hit = run >= 64
+            k_lest = int(np.argmax(lest_hit)) if lest_hit.any() else kseg
+            # Mask hit inside an unequal block: dist windows start at blk-8+j.
+            use_l = (blk - pos) >= normal
+            anyS = (cS[blk] - cS[blk - 8]) > 0
+            anyL = (cL[blk] - cL[blk - 8]) > 0
+            cand = neq & np.where(use_l, anyL, anyS)
+            k_hit = int(np.argmax(cand)) if cand.any() else kseg
+            if k_lest < kseg and k_lest < k_hit:
+                cut = (min_size + 8 + 8 * (k_base + k_lest)) + 8
+            elif k_hit < kseg:
+                p0 = int(blk[k_hit]) - 8
+                hits = hit_l[p0 : p0 + 8] if use_l[k_hit] else hit_s[p0 : p0 + 8]
+                j = int(np.argmax(hits))
+                i_local = min_size + 8 + 8 * (k_base + k_hit)
+                cut = i_local + 8 if spec else i_local + j
+            else:
+                carry = int(run[-1]) if bool(eq[-1]) else 0
+                k_base += kseg
+        if cut < 0:
+            cut = n
+        lengths.append(cut)
+        pos += cut
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# FastCDC4Stadia (fastcdc4stadia.go:77-149)
+# ---------------------------------------------------------------------------
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    n = len(x)
+    out = _scratch("bl_out", n, np.int16)
+    out[:] = 0
+    v = _scratch("bl_v", n, np.uint64)
+    v[:] = x
+    m = _scratch("bl_m", n, bool)
+    for sh in (32, 16, 8, 4, 2, 1):
+        np.greater_equal(v, _U64(1) << _U64(sh), out=m)
+        out[m] += sh
+        v[m] >>= _U64(sh)
+    np.greater(x, _U64(0), out=m)
+    out[m] += 1
+    return out
+
+
+def _stadia_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
+    N = len(data)
+    if N == 0:
+        return []
+    min_size, max_size = r.min_size, r.max_size
+    if min_size < 64:
+        # The MaxUint64 hash init is not fully shifted out before MinSize;
+        # fall back to the exact naive scan (test-only geometry).
+        b = data.tobytes()
+        return naive.split_naive(r, b)
+    thresh = _U64(MASK64 // (r.normal_size - min_size + 1))
+    g = _gear_lookup(GEAR64, data)
+    SS = _gear_steady(g, slot="ss")
+    B = _bitlen_u64(SS)
+
+    lengths: list[int] = []
+    pos = 0
+    while pos < N:
+        n = min(N - pos, max_size)
+        if n <= min_size:
+            lengths.append(n)
+            break
+        # hash checked at local index p equals SS[pos+p-1] (warmup covers
+        # exactly 64 bytes before MinSize, so the all-ones init is gone).
+        lo, hi = pos + min_size - 1, pos + n - 1
+        Bw = B[lo:hi]
+        SSw = SS[lo:hi]
+        # Records: positions passing hash & regressionMask == 0, i.e. bitlen
+        # <= best-so-far (first check always passes: mask starts at 0).
+        rmin = np.minimum.accumulate(Bw)
+        rec = np.empty(len(Bw), dtype=bool)
+        rec[0] = True
+        rec[1:] = Bw[1:] <= rmin[:-1]
+        cutcand = np.flatnonzero(rec & (SSw <= thresh))
+        if cutcand.size:
+            cut = min_size + int(cutcand[0])
+        else:
+            recs = np.flatnonzero(rec)
+            k_last = int(recs[-1])
+            # Post-loop: hash now includes byte n-1 -> SS[pos+n-1].
+            if int(B[pos + n - 1]) <= int(Bw[k_last]):
+                cut = n
+            else:
+                cut = min_size + k_last
+        lengths.append(cut)
+        pos += cut
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# Fixed (fixed.go:74-79)
+# ---------------------------------------------------------------------------
+
+def _fixed_lengths(n_total: int, size: int) -> list[int]:
+    full, rem = divmod(n_total, size)
+    out = [size] * full
+    if rem:
+        out.append(rem)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def split_lengths(algorithm_or_opts, data: bytes | np.ndarray, opts: ChunkerOpts | None = None) -> list[int]:
+    """Chunk lengths of the whole stream; sum(lengths) == len(data).
+
+    Accepts either an algorithm name (+ optional ChunkerOpts) or an already
+    resolved ResolvedOpts. Empty input -> [].
+    """
+    if isinstance(algorithm_or_opts, ResolvedOpts):
+        r = algorithm_or_opts
+    else:
+        r = resolve(algorithm_or_opts, opts)
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
+    fam = family(r.algorithm)
+    if fam == "fastcdc":
+        return _fastcdc_lengths(arr, r, GEAR)
+    if fam == "kfastcdc":
+        return _fastcdc_lengths(arr, r, get_gear_table(r.key))
+    if fam == "jc":
+        return _jc_lengths(arr, r, get_gear_table(r.key))
+    if fam == "ultracdc":
+        return _ultracdc_lengths(arr, r)
+    if fam == "stadia":
+        return _stadia_lengths(arr, r)
+    return _fixed_lengths(len(arr), r.normal_size)
+
+
+def split_chunks(
+    algorithm_or_opts, data: bytes, opts: ChunkerOpts | None = None, digest: bool = True
+):
+    """(offset, length, sha256-digest) triples, the Split() output shape
+    (chunkers.go:214-232) with the per-chunk sha256 of cmd/cdc/stats.go:135."""
+    lengths = split_lengths(algorithm_or_opts, data, opts)
+    out = []
+    pos = 0
+    for ln in lengths:
+        d = hashlib.sha256(data[pos : pos + ln]).digest() if digest else b""
+        out.append((pos, ln, d))
+        pos += ln
+    return out
+
+
+def fingerprint(algorithm_or_opts, data: bytes, opts: ChunkerOpts | None = None) -> dict:
+    """The golden-test fingerprint (tests/golden_test.go:52-92): chunk count,
+    sha256 over the LE-uint64 length sequence, sha256 of the content."""
+    lengths = split_lengths(algorithm_or_opts, data, opts)
+    h = hashlib.sha256()
+    for ln in lengths:
+        h.update(struct.pack("<Q", ln))
+    return {
+        "chunks": len(lengths),
+        "cuts_hash": h.hexdigest(),
+        "content": hashlib.sha256(data).hexdigest(),
+    }
