@@ -1,0 +1,139 @@
+"""P2-P3: the Spark chunking stage.
+
+chunk_clips() turns clips(clip_id, bytes, ...) into the reference's Split()
+output relation (chunkers.go:214-232):
+
+  chunks(clip_id string, algo string, chunk_idx int, offset long,
+         length int, chunk_hash binary)
+
+The cutpoint scan runs inside one vectorized pandas UDF (ArrowEvalPython
+node): bytes arrive as an Arrow batch, each row is chunked by the numpy
+kernels (cdc/kernels.py -- byte-exact with the reference), per-chunk sha256
+is computed in C-speed hashlib (cmd/cdc/stats.go:135's digest). Zero
+row-at-a-time Python UDFs; the per-row loop below only dispatches whole-row
+numpy work, mirroring the reference's inter-stream-only parallelism
+(cmd/cdcbench/bench.go:100-136: one chunker per file, N workers == here one
+kernel call per clip, N executor cores).
+
+Chunking is embarrassingly parallel across rows and carries no cross-row
+state, so the output is Arrow-batch-size invariant (the analogue of the
+reference's buffer-equivalence guarantee, buffer_test.go:59-114; pinned by
+tests/test_spark_chunking.py).
+
+Empty bytes => zero chunk rows for that clip (explode_outer is NOT used, by
+design: the reference's empty-stream chunk is zero-length and every consumer
+skips it -- harness_test.go:140).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cdc import kernels
+from ..cdc.opts import ChunkerOpts, ResolvedOpts, resolve
+
+CHUNK_ARRAY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("length", T.IntegerType(), False),
+            T.StructField("chunk_hash", T.BinaryType(), False),
+        ]
+    )
+)
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("algo", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.IntegerType(), False),
+        T.StructField("chunk_hash", T.BinaryType(), False),
+    ]
+)
+
+
+def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None, digest: bool = True):
+    """Series->Series pandas UDF: binary -> array<struct<offset,length,hash>>.
+
+    The ResolvedOpts (incl. any keyed Gear table derivation input) is captured
+    in the closure; the derived table itself is memoized per worker process
+    (cdc/tables.py mirrors the reference's process-wide cache,
+    fastcdc.go:37-75)."""
+    r: ResolvedOpts = resolve(algorithm, opts) if not isinstance(algorithm, ResolvedOpts) else algorithm
+
+    @F.pandas_udf(CHUNK_ARRAY_TYPE)
+    def _chunk(data: pd.Series) -> pd.Series:
+        out = []
+        for b in data:
+            if b is None:
+                out.append([])
+                continue
+            out.append(
+                [
+                    {"offset": o, "length": ln, "chunk_hash": h}
+                    for o, ln, h in kernels.split_chunks(r, bytes(b), digest=digest)
+                ]
+            )
+        return pd.Series(out)
+
+    return _chunk
+
+
+def chunk_clips(
+    df: DataFrame,
+    algorithm: str,
+    opts: ChunkerOpts | None = None,
+    data_col: str = "bytes",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """clips -> chunks relation (P3). One shuffle-free narrow stage:
+    Scan -> ArrowEvalPython -> Generate(posexplode) -> Project."""
+    udf = make_chunk_udf(algorithm, opts)
+    return (
+        df.select(F.col(id_col).alias("clip_id"), udf(F.col(data_col)).alias("_chunks"))
+        .select(
+            "clip_id",
+            F.posexplode("_chunks").alias("chunk_idx", "_c"),
+        )
+        .select(
+            "clip_id",
+            F.lit(algorithm).alias("algo"),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("_c.offset").alias("offset"),
+            F.col("_c.length").alias("length"),
+            F.col("_c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_transcripts(
+    df: DataFrame,
+    algorithm: str,
+    opts: ChunkerOpts | None = None,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Chunk the UTF-8 encoding of a text column with the same kernels."""
+    return chunk_clips(
+        df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("_raw")),
+        algorithm,
+        opts,
+        data_col="_raw",
+        id_col=id_col,
+    )
+
+
+def fingerprint_by_clip(chunks: DataFrame) -> DataFrame:
+    """Per-clip fingerprint relation: chunk count + total bytes; the strict
+    cuts-hash equivalent is checked kernel-side in tests (golden oracle)."""
+    return chunks.groupBy("clip_id", "algo").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.min("length").cast("long").alias("min_len"),
+        F.max("length").cast("long").alias("max_len"),
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local defaults target the sandbox (local[N], single JVM); on a real cluster
+the same settings apply except master/memory come from spark-submit. Knobs:
+
+  - shuffle.partitions ~ cores locally; at 100 TB scale this is set to
+    ~2-3x total executor cores (and AQE coalesces down after each shuffle).
+  - Arrow batch size bounds Python-worker memory for the binary `bytes`
+    column: batch_bytes ~ maxRecordsPerBatch x avg clip size x executor
+    cores. 256 rows x ~128 KiB ~ 32 MiB per core -- the analogue of the
+    reference's pooled scan buffers (chunkers.go:112-152: memory scales
+    with concurrency, not row count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "go-cdc-chunkers-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 256,
+    extra: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

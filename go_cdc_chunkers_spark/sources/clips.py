@@ -1,0 +1,190 @@
+"""Synthetic `clips` table builder + loaders (FIXTURES.md F1).
+
+Schema (BASELINE.json input_hint):
+  clips(clip_id string, bytes binary, sr_hz int, dur_ms int,
+        codec string, transcript string)
+
+Deterministic (seeded numpy PCG64; no wall clock). Base clips are
+sine+noise PCM s16le; duplicates are derived three ways:
+  - exact: bytes + transcript copied verbatim;
+  - near:  seeded random insertions -- the edit model of the reference's
+           resync tool (cmd/cdc/resync.go:134-147), applied at sample
+           granularity -- plus amplitude jitter kept below the SNR >= 30 dB
+           per-row invariant (BASELINE.json input_hint), and <= 2 token
+           edits on the transcript;
+  - const: pathological constant-PCM clips (all zero / all 0xAA) for the
+           LSH-skew fixture (FIXTURES.md F5).
+
+Ground-truth duplicate groups are emitted alongside as
+  clips_truth(clip_id string, group_id long)
+so the recall >= 0.99 gate can enumerate all intra-group pairs.
+
+Writes plain Parquet in an Iceberg-compatible layout (hash-bucket directory
+partitioning is left to the writer); the Iceberg catalog itself needs jars
+not present in this image, so the table format is gated behind import-try in
+sources/iceberg.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu zero one two three four five six seven eight "
+    "nine stream chunk audio clip hash table spark shuffle band cluster "
+    "signal noise sample frame codec window mask cut jump gear anchor "
+    "parquet batch arrow vector salt skew label merge probe scan"
+).split()
+
+
+def _sine_noise_pcm(rng: np.ndarray, n_samples: int, freq: float, sr: int,
+                    noise_amp: float) -> np.ndarray:
+    t = np.arange(n_samples, dtype=np.float64) / sr
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    x += noise_amp * rng.standard_normal(n_samples)
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
+def _insert_samples(rng, pcm: np.ndarray, n_edits: int) -> np.ndarray:
+    """Seeded random insertions (resync.go:134-147 edit model, per sample)."""
+    out = pcm
+    for _ in range(n_edits):
+        pos = int(rng.integers(0, len(out) + 1))
+        val = np.array([rng.integers(-32768, 32767)], dtype="<i2")
+        out = np.concatenate([out[:pos], val, out[pos:]])
+    return out
+
+
+def _jitter(rng, pcm: np.ndarray) -> np.ndarray:
+    """Amplitude jitter below the SNR >= 30 dB invariant: y = x*(1+e),
+    |e| <= 0.03 => noise power <= 1e-3 x signal power (SNR ~ 30.5 dB)."""
+    e = float(rng.uniform(-0.03, 0.03))
+    return np.clip(pcm.astype(np.float64) * (1.0 + e), -32768, 32767).astype("<i2")
+
+
+def _edit_transcript(rng, words: list[str]) -> list[str]:
+    out = list(words)
+    for _ in range(int(rng.integers(0, 3))):  # <= 2 token edits
+        if not out:
+            break
+        i = int(rng.integers(0, len(out)))
+        op = int(rng.integers(0, 3))
+        w = WORDS[int(rng.integers(0, len(WORDS)))]
+        if op == 0:
+            out[i] = w
+        elif op == 1:
+            out.insert(i, w)
+        else:
+            del out[i]
+    return out
+
+
+def generate_clips(
+    n_base: int = 120,
+    dup_frac: float = 0.25,
+    near_frac: float = 0.25,
+    n_const: int = 4,
+    seed: int = 42,
+    sr: int = 16000,
+    min_ms: int = 150,
+    max_ms: int = 1200,
+    n_edits: int = 16,
+):
+    """Return (rows, truth) where rows is a list of clip dicts and truth maps
+    clip_id -> duplicate group id. Group ids are the base clip's index; clips
+    without any duplicate still carry their own group (singleton)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    truth = {}
+    base_pcm = []
+    base_words = []
+    for i in range(n_base):
+        dur_ms = int(rng.integers(min_ms, max_ms))
+        n_samples = sr * dur_ms // 1000
+        freq = float(rng.uniform(80, 3000))
+        pcm = _sine_noise_pcm(rng, n_samples, freq, sr, noise_amp=0.05)
+        words = [WORDS[int(rng.integers(0, len(WORDS)))]
+                 for _ in range(int(rng.integers(5, 20)))]
+        base_pcm.append(pcm)
+        base_words.append(words)
+        clip_id = f"clip-{i:08d}"
+        rows.append(dict(
+            clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr,
+            dur_ms=dur_ms, codec="pcm_s16le", transcript=" ".join(words),
+        ))
+        truth[clip_id] = i
+
+    next_id = n_base
+    n_dup = int(n_base * dup_frac)
+    n_near = int(n_base * near_frac)
+    for k in range(n_dup):
+        src = int(rng.integers(0, n_base))
+        clip_id = f"clip-{next_id:08d}"
+        next_id += 1
+        pcm = base_pcm[src]
+        rows.append(dict(
+            clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr,
+            dur_ms=len(pcm) * 1000 // sr, codec="pcm_s16le",
+            transcript=" ".join(base_words[src]),
+        ))
+        truth[clip_id] = src
+    for k in range(n_near):
+        src = int(rng.integers(0, n_base))
+        clip_id = f"clip-{next_id:08d}"
+        next_id += 1
+        pcm = _jitter(rng, _insert_samples(rng, base_pcm[src], n_edits))
+        words = _edit_transcript(rng, base_words[src])
+        rows.append(dict(
+            clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr,
+            dur_ms=len(pcm) * 1000 // sr, codec="pcm_s16le",
+            transcript=" ".join(words),
+        ))
+        truth[clip_id] = src
+    for k in range(n_const):
+        clip_id = f"clip-{next_id:08d}"
+        next_id += 1
+        fill = 0 if k % 2 == 0 else 0xAA
+        n_samples = sr // 2
+        raw = np.full(2 * n_samples, fill, dtype=np.uint8)
+        rows.append(dict(
+            clip_id=clip_id, bytes=raw.tobytes(), sr_hz=sr,
+            dur_ms=500, codec="pcm_s16le", transcript="constant signal",
+        ))
+        truth[clip_id] = n_base + (k % 2)  # two constant groups
+    return rows, truth
+
+
+def write_clips_parquet(path: str, truth_path: str | None = None, **kw) -> int:
+    """Materialize the synthetic table as parquet (pyarrow; no Spark needed).
+    Returns the row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows, truth = generate_clips(**kw)
+    table = pa.table({
+        "clip_id": pa.array([r["clip_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r["sr_hz"] for r in rows], pa.int32()),
+        "dur_ms": pa.array([r["dur_ms"] for r in rows], pa.int32()),
+        "codec": pa.array([r["codec"] for r in rows], pa.string()),
+        "transcript": pa.array([r["transcript"] for r in rows], pa.string()),
+    })
+    pq.write_table(table, path)
+    if truth_path:
+        t = pa.table({
+            "clip_id": pa.array(list(truth), pa.string()),
+            "group_id": pa.array([truth[k] for k in truth], pa.int64()),
+        })
+        pq.write_table(t, truth_path)
+    return len(rows)
+
+
+def decode_pcm(raw: bytes, codec: str = "pcm_s16le") -> np.ndarray:
+    """P2 decode: pcm_s16le -> int16 samples. Other codecs are plumbing-only
+    stubs (decoder libs are not in this image)."""
+    if codec == "pcm_s16le":
+        n = len(raw) - (len(raw) % 2)
+        return np.frombuffer(raw[:n], dtype="<i2")
+    raise NotImplementedError(f"codec {codec!r}: decode stubbed (no codec libs)")
