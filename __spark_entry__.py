@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship end-to-end slice -- synthesize the deterministic
+clips table (BASELINE.json input_hint shape), chunk it with fastcdc-v1.0.0
+through the vectorized pandas-UDF kernel, and return the per-algo
+measure + distribution metrics row (SURVEY.md build plan step 2).
+
+queries(): one entry per implemented operator (SURVEY.md section 2).
+CDC-cutpoint queries have no ANSI-SQL equivalent (the cutpoint oracle is the
+golden-fingerprint pytest suite instead); they are rows-only here. All
+relational / dedup / text / embedding operators carry exact DuckDB oracles.
+
+Column names are aliased identically in Spark and SQL so the driver's
+order-insensitive value-hash comparison holds.
 """
 
 from __future__ import annotations
@@ -13,26 +20,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_cdc_chunkers_spark import entry_queries as EQ
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return EQ.flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return EQ.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return EQ.ORACLES
