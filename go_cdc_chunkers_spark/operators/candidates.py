@@ -1,0 +1,270 @@
+"""P7-P9: LSH candidate generation (skew-handled), pair verification,
+suffix-array containment.
+
+Skew strategy (P7). An LSH bucket of size m yields m(m-1)/2 pairs; a
+pathological bucket (constant-PCM clips -- the audio analogue of UltraCDC's
+low-entropy LEST path) makes that quadratic. Handling, in order:
+  1. explicit repartition on (band_id, band_hash) ahead of the self-join, so
+     bucket work is spread and AQE's skew-join splitting has clean keys;
+  2. buckets with size <= pair_cap join pairwise (the normal path);
+  3. buckets larger than pair_cap emit a *star* instead: every member is
+     connected to the bucket's minimum clip_id. That is linear in bucket
+     size and preserves exactly the same connected components downstream
+     (any clustering over candidate edges only needs connectivity, not the
+     full clique). Verification of star edges is identical -- members of a
+     giant identical-signature bucket are mutual near-dups by construction.
+
+Dedup of (a,b) across bands/sources happens once here (a < b normalized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    pair_cap: int = 64,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """bands(band_id, band_hash, clip_id, src) -> candidates(a, b, src).
+
+    a < b; deduped across bands. Buckets larger than pair_cap produce star
+    edges (see module docstring)."""
+    key = ["band_id", "band_hash"]
+    b = bands
+    if shuffle_partitions:
+        b = b.repartition(shuffle_partitions, *key)
+    sized = b.withColumn(
+        "_bucket_n", F.count("*").over(Window.partitionBy(*key))
+    )
+    small = sized.filter(F.col("_bucket_n") <= pair_cap).drop("_bucket_n")
+    big = sized.filter(F.col("_bucket_n") > pair_cap).drop("_bucket_n")
+
+    left = small.select(*key, F.col("clip_id").alias("a"), "src")
+    right = small.select(*key, F.col("clip_id").alias("b"))
+    pairs_small = (
+        left.join(right, key)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "src")
+    )
+
+    # Star edges for hot buckets: linear, same connectivity.
+    hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.first("src").alias("hub_src"))
+    pairs_big = (
+        big.drop("src")
+        .join(hub, key)
+        .filter(F.col("clip_id") != F.col("a"))
+        .select("a", F.col("clip_id").alias("b"), F.col("hub_src").alias("src"))
+    )
+
+    return (
+        pairs_small.unionByName(pairs_big)
+        .groupBy("a", "b")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    )
+
+
+def verify_pairs(
+    cands: DataFrame,
+    signatures: DataFrame,
+    simhashes: DataFrame | None = None,
+    k: int = 128,
+    jaccard_threshold: float = 0.5,
+    hamming_threshold: int = 8,
+) -> DataFrame:
+    """P8: verified(a, b, jaccard_est, simhash_ham, is_dup).
+
+    jaccard_est = fraction of equal MinHash positions (columnar zip_with,
+    the estimator of the MinHash paper); simhash_ham = bit_count(xor).
+    A pair passes if either evidence channel passes its threshold."""
+    sa = signatures.select(
+        F.col("clip_id").alias("a"), F.col("minhash").alias("_sig_a")
+    )
+    sb = signatures.select(
+        F.col("clip_id").alias("b"), F.col("minhash").alias("_sig_b")
+    )
+    out = (
+        cands.join(sa, "a", "left")
+        .join(sb, "b", "left")
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("_sig_a").isNotNull() & F.col("_sig_b").isNotNull(),
+                F.size(
+                    F.filter(
+                        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(k),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_sig_a", "_sig_b")
+    )
+    if simhashes is not None:
+        ha = simhashes.select(F.col("clip_id").alias("a"), F.col("simhash").alias("_ha"))
+        hb = simhashes.select(F.col("clip_id").alias("b"), F.col("simhash").alias("_hb"))
+        out = (
+            out.join(ha, "a", "left")
+            .join(hb, "b", "left")
+            .withColumn(
+                "simhash_ham",
+                F.when(
+                    F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+                ).otherwise(F.lit(64)),
+            )
+            .drop("_ha", "_hb")
+        )
+    else:
+        out = out.withColumn("simhash_ham", F.lit(64))
+    return out.withColumn(
+        "is_dup",
+        (F.col("jaccard_est") >= jaccard_threshold)
+        | (F.col("simhash_ham") <= hamming_threshold),
+    )
+
+
+def _pair_jaccard(cands: DataFrame, signatures: DataFrame, k: int, out_col: str) -> DataFrame:
+    sa = signatures.select(F.col("clip_id").alias("a"), F.col("minhash").alias("_sa"))
+    sb = signatures.select(F.col("clip_id").alias("b"), F.col("minhash").alias("_sb"))
+    return (
+        cands.join(sa, "a", "left")
+        .join(sb, "b", "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_sa").isNotNull() & F.col("_sb").isNotNull(),
+                F.size(
+                    F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+                )
+                / F.lit(k),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_sa", "_sb")
+    )
+
+
+def verify_pairs_dual(
+    cands: DataFrame,
+    sig_pcm: DataFrame,
+    sig_text: DataFrame,
+    simhashes: DataFrame,
+    k: int = 128,
+    jaccard_threshold: float = 0.35,
+    hamming_threshold: int = 16,
+) -> DataFrame:
+    """P8 with both evidence channels scored independently:
+    verified(a, b, srcs, jaccard_pcm, jaccard_text, simhash_ham, is_dup).
+
+    jaccard_pcm estimates byte-level (CDC chunk set) similarity -- the
+    resync/dedup identity channel; jaccard_text + simhash_ham cover
+    transcript fuzziness. A pair is a duplicate if any channel passes."""
+    out = _pair_jaccard(cands, sig_pcm, k, "jaccard_pcm")
+    out = _pair_jaccard(out, sig_text, k, "jaccard_text")
+    ha = simhashes.select(F.col("clip_id").alias("a"), F.col("simhash").alias("_ha"))
+    hb = simhashes.select(F.col("clip_id").alias("b"), F.col("simhash").alias("_hb"))
+    out = (
+        out.join(ha, "a", "left")
+        .join(hb, "b", "left")
+        .withColumn(
+            "simhash_ham",
+            F.when(
+                F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+            )
+            .otherwise(F.lit(64))
+            .cast("int"),
+        )
+        .drop("_ha", "_hb")
+    )
+    return out.withColumn(
+        "is_dup",
+        (F.col("jaccard_pcm") >= jaccard_threshold)
+        | (F.col("jaccard_text") >= jaccard_threshold)
+        | (F.col("simhash_ham") <= hamming_threshold),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9: suffix-array containment (the only Python stage; runs on the small
+# verified-candidate set only)
+# ---------------------------------------------------------------------------
+
+def _suffix_array(s: str):
+    """O(n log^2 n) doubling suffix array (numpy ranks + argsort)."""
+    import numpy as np
+
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.array([ord(c) for c in s], dtype=np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.where(np.arange(n) + k < n, np.roll(rank, -k), -1)
+        order = np.lexsort((key2, rank))
+        neq = (rank[order[1:]] != rank[order[:-1]]) | (
+            key2[order[1:]] != key2[order[:-1]]
+        )
+        tmp = np.empty(n, dtype=np.int64)
+        tmp[order] = np.concatenate([[0], np.cumsum(neq)])
+        rank = tmp
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def _sa_contains(haystack: str, needle: str) -> bool:
+    """Substring search by binary search over the suffix array."""
+    if not needle:
+        return True
+    sa = _suffix_array(haystack)
+    lo, hi = 0, len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if haystack[sa[mid] :][: len(needle)] < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo < len(sa) and haystack[sa[lo] :].startswith(needle)
+
+
+def containment_pass(
+    verified: DataFrame,
+    clips: DataFrame,
+    text_col: str = "transcript",
+) -> DataFrame:
+    """P9: exact transcript containment for verified pairs, via a suffix
+    array built per pair inside a grouped pandas UDF (mapInPandas). Only the
+    already-verified candidate set flows through Python -- by then the data
+    is tiny relative to the corpus."""
+    import pandas as pd
+
+    t = clips.select(F.col("clip_id"), F.col(text_col).alias("_t"))
+    joined = (
+        verified.join(t.withColumnRenamed("clip_id", "a").withColumnRenamed("_t", "_ta"), "a")
+        .join(t.withColumnRenamed("clip_id", "b").withColumnRenamed("_t", "_tb"), "b")
+    )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in verified.schema.fields
+    ) + ", containment boolean"
+
+    cols = [f.name for f in verified.schema.fields]
+
+    def _check(batches):
+        for pdf in batches:
+            cont = [
+                _sa_contains(ta, tb) or _sa_contains(tb, ta)
+                for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+            ]
+            out = pdf[cols].copy()
+            out["containment"] = pd.Series(cont, index=pdf.index)
+            yield out
+
+    return joined.mapInPandas(_check, schema=schema)

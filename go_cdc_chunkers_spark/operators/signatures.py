@@ -1,0 +1,175 @@
+"""P4-P6: MinHash signatures, LSH banding, SimHash -- all JVM-side.
+
+No Python runs per row here at all: the hash family is Spark's built-in
+xxhash64 seeded by position (h_i(x) = xxhash64(i, x)), min-reduced by a
+single hash aggregate; SimHash bit-votes are 64 conditional sums in the same
+aggregate. Everything stays inside WholeStageCodegen except the one shuffle
+the groupBy needs. This is the "batched signatures, never per-row Python"
+requirement of BASELINE.json made literal.
+
+Scale notes:
+  - one shuffle per signature table, keyed by clip_id; partial (map-side)
+    aggregation applies because min/sum are algebraic;
+  - k=128 min-columns widen the aggregate buffer, not the shuffle row count;
+  - band hashing is a projection (no shuffle); the exploded bands relation
+    is what the candidate join repartitions on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signatures(
+    items: DataFrame,
+    id_col: str = "clip_id",
+    item_col: str = "chunk_hash",
+    k: int = 128,
+) -> DataFrame:
+    """(id, item)* -> signatures(id, minhash array<long>[k]).
+
+    h_i(x) = xxhash64(i, x); sig[i] = min over the id's item set. Empty item
+    sets simply have no row (the empty-input clip keeps its identity through
+    the pipeline via the clips table itself)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col(item_col))).alias(f"_h{i}")
+        for i in range(k)
+    ]
+    sig = items.groupBy(F.col(id_col).alias("clip_id")).agg(*aggs)
+    return sig.select(
+        "clip_id", F.array(*[f"_h{i}" for i in range(k)]).alias("minhash")
+    )
+
+
+def word_shingles(
+    df: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, text) -> (id, shingle string): word n-grams, whitespace-split.
+    Pure projection + explode (Generate); no UDF."""
+    words = df.select(
+        F.col(id_col).alias("clip_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    # shingle j = concat(words[j..j+n)); sequence is empty when too short,
+    # in which case fall back to the whole text as a single shingle.
+    shingled = words.select(
+        "clip_id",
+        F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - n),
+                lambda j: F.concat_ws(" ", F.slice("_w", j + 1, n)),
+            ),
+        )
+        .otherwise(F.array(F.concat_ws(" ", "_w")))
+        .alias("_sh"),
+    )
+    return shingled.select("clip_id", F.explode("_sh").alias("shingle"))
+
+
+def char_shingles(
+    df: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    n: int = 4,
+) -> DataFrame:
+    """(id, text) -> (id, shingle): character n-grams. Far more robust than
+    word n-grams on short texts (a single token edit perturbs only ~n
+    character shingles, vs n word shingles out of very few). Projection +
+    Generate only."""
+    return df.select(
+        F.col(id_col).alias("clip_id"),
+        F.explode(
+            F.when(
+                F.length(text_col) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col) - n + 1),
+                    lambda j: F.substr(F.col(text_col), j, F.lit(n)),
+                ),
+            ).otherwise(F.array(F.col(text_col)))
+        ).alias("shingle"),
+    ).distinct()
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    sig_col: str = "minhash",
+    src: str = "pcm",
+) -> DataFrame:
+    """signatures -> bands(band_id int, band_hash long, clip_id, src).
+
+    band_hash = xxhash64 of the band's slice of the signature (a single
+    JVM expression over array<long>). Explode is a Generate -- no shuffle
+    until the candidate join."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        signatures.select("clip_id", F.explode(band_structs).alias("_b"))
+        .select(
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_hash").alias("band_hash"),
+            "clip_id",
+            F.lit(src).alias("src"),
+        )
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """(id, text) -> (id, simhash long): 64-bit SimHash over word tokens.
+
+    For each bit i: vote = sum over tokens of +1/-1 by bit i of
+    xxhash64(token); bit set iff vote > 0. 64 conditional sums in one hash
+    aggregate; the final assembly folds bits with bitwise shifts -- all
+    codegen, no UDF."""
+    toks = df.select(
+        F.col(id_col).alias("clip_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("clip_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    # Assemble: sum of (vote_i > 0) << i. Shift into long via multiply to
+    # keep it a plain integer expression.
+    bit_terms = [
+        F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(63)
+    ]
+    # bit 63 would overflow signed long as 2**63; fold it as the sign bit.
+    sign = F.when(F.col("_v63") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    total = sign
+    for t in bit_terms:
+        total = total + t
+    return votes.select("clip_id", total.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit columns: bit_count(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))

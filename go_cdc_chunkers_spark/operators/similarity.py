@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  - brute_force_topk: exact cosine top-k of every query vector against the
+    corpus. The dot products are computed in *scaled integer space*
+    (round(x*y*1e12) summed as bigint) so the result is bit-deterministic
+    and reproducible by the ANSI-SQL oracle -- float summation order can
+    never flip a result. Correct baseline; O(|Q| x |N|).
+  - lsh_bucketed_topk: the scale path -- a random-hyperplane (SimHash-style)
+    sketch of each vector buckets the corpus; queries only score vectors
+    sharing a bucket (multi-probe over bands). Sub-linear candidates at
+    1000-executor scale, with the same integer-exact scorer on the
+    candidate set. Recall is tested against the brute-force oracle.
+
+All column-level math is JVM-side (zip_with / aggregate / transform);
+no Python in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1e12
+
+
+def _dot_scaled(a, b):
+    """sum(round(a_i*b_i*1e12)) as bigint: order-free, bit-deterministic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(_SCALE)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2_scaled(a):
+    return _dot_scaled(a, a)
+
+
+def cosine_expr(a, b):
+    """Cosine similarity from integer-scaled dots: deterministic double."""
+    return F.round(
+        _dot_scaled(a, b)
+        / F.sqrt(_norm2_scaled(a).cast("double") * _norm2_scaled(b).cast("double")),
+        6,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """queries x corpus exact cosine top-k (excluding self)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def hyperplane_sketch(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH: bit_i = sign(<v, r_i>) with pseudo-random
+    hyperplanes derived from xxhash64(seed, i, dim) -- reproducible without
+    shipping a matrix, JVM-only. Returns (vec_id, sketch long)."""
+    dims = F.size(F.col(vec_col))
+    # r_i[d] in {-1, +1} from the parity of xxhash64(seed, i, d)
+    def bit(i: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(seed), F.lit(i), d).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sk = bit(0)
+    for i in range(1, n_bits):
+        sk = sk + bit(i)
+    return embeddings.select(F.col(id_col).alias("vec_id"), sk.alias("sketch"))
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: score only candidates sharing >= 1 sketch band with the
+    query (banded multi-probe). Same integer-exact scorer as brute force."""
+    r = n_bits // bands
+    sk_all = hyperplane_sketch(embeddings, n_bits, id_col, vec_col)
+
+    def bands_of(df, out_id):
+        return df.select(
+            F.col("vec_id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftrightunsigned(F.col("sketch"), b * r)
+                            .bitwiseAND(F.lit((1 << r) - 1))
+                            .alias("piece"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_p"),
+        ).select(out_id, F.col("_p.band_id").alias("band_id"), F.col("_p.piece").alias("piece"))
+
+    qb = bands_of(
+        sk_all.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id"), "query_id"
+    )
+    cb = bands_of(sk_all, "neighbor_id")
+    cand = (
+        qb.join(cb, ["band_id", "piece"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

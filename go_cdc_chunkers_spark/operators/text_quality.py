@@ -1,0 +1,124 @@
+"""Text analysis for a training-data pipeline: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All pure column
+expressions (codegen; no UDF), each with an ANSI-SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword table for the n-gram/stopword language
+# heuristic. Deterministic and public-knowledge words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate: tokens of <= 4
+    chars count 1, longer words ceil(len/4) -- the standard cheap proxy for
+    byte-pair token budgeting."""
+    words = F.split(F.trim(F.col(text_col)), r" +")
+    n_words = F.size(words)
+    subword = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        subword.alias("n_subword_est"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / digit / mean-word-length features + a composite
+    score in [0, 100] (integer; deterministic)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    n_words = F.size(F.split(F.trim(t), r" +"))
+    mean_wlen = F.round(n / F.greatest(n_words, F.lit(1)), 4)
+    score = (
+        F.least(n_words, F.lit(50)).cast("double") * 1.0
+        + F.when((n_alpha / F.greatest(n, F.lit(1))) > 0.7, 30.0).otherwise(0.0)
+        + F.when((n_digit / F.greatest(n, F.lit(1))) < 0.2, 10.0).otherwise(0.0)
+        + F.when((n_punct / F.greatest(n, F.lit(1))) < 0.1, 10.0).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        n_punct.cast("long").alias("n_punct"),
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        F.least(F.round(score), F.lit(100.0)).cast("long").alias("quality_score"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: count hits per language's stopword list
+    over the token set; argmax with a deterministic tiebreak ('en' last).
+    (On the synthetic corpus the labels are random, so the gate is
+    Spark == oracle, not label accuracy.)"""
+    words = F.split(F.trim(F.col(text_col)), r" +")
+    votes = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    # argmax by (vote, lang) descending so ties break on language code.
+    best = F.greatest(
+        *[F.struct(v.alias("v"), F.lit(lang).alias("lang")) for lang, v in votes.items()]
+    )
+    out = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[votes[lang].cast("long").alias(f"votes_{lang}") for lang in sorted(STOPWORDS)],
+        F.when(best["v"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+    return out
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum xxhash64 over each
+    sliding window of word 2-gram hashes, collected as a sorted distinct
+    set. Rows: (doc_id, fp long). SQL-oracle-able via the md5 variant in
+    entry_queries (same shape, md5-based hash)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r" +").alias("_w"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - 2),
+                lambda j: F.xxhash64(F.concat_ws(" ", F.slice("_w", j + 1, 2))),
+            ),
+        )
+        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", "_w"))))
+        .alias("_g"),
+    )
+    mins = grams.select(
+        "doc_id",
+        F.when(
+            F.size("_g") >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_g") - window),
+                lambda j: F.array_min(F.slice("_g", j + 1, window)),
+            ),
+        )
+        .otherwise(F.array(F.array_min("_g")))
+        .alias("_m"),
+    )
+    return mins.select("doc_id", F.explode(F.array_distinct("_m")).alias("fp"))

@@ -1,0 +1,171 @@
+"""End-to-end near-duplicate detection + clustering pipeline (P1-P12).
+
+Stage graph (each stage a DataFrame -> DataFrame function, checkpointed to
+parquet with an idempotent resume contract):
+
+  clips --P3--> chunks_pcm --P4--> sig_pcm --P5--> bands ---+
+    |                                                       |--P7--> candidates
+    +--P4'-> shingles -> sig_text --P5--> bands ------------+          |
+    +--P6--> simhash ---------------------------------------+---P8--> verified
+    |                                                                  |
+    +--------------------------------------------------P9--> containment
+                                                                       |
+  components <--P10-- edges(is_dup) <----------------------------------+
+
+Resume (north_rule): every stage checks for its completed output (parquet
+dir with Spark's _SUCCESS marker) before recomputing, so a killed run
+restarted with the same workdir resumes from the last finished stage and
+produces byte-identical outputs. A `lineage` parquet accumulates one row
+per executed stage: (stage, rows_out, started_unix, finished_unix, config).
+
+Scale notes: stage boundaries are where a 1000-executor run would write to
+Iceberg instead of local parquet (sources/iceberg.py gates the format); the
+explicit repartition before the band join and the pair_cap star fallback
+are the skew controls (see operators/candidates.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.opts import ChunkerOpts
+from ..operators import candidates as cand_ops
+from ..operators import chunking, components, signatures
+
+
+@dataclass
+class PipelineConfig:
+    algorithm: str = "fastcdc-v1.0.0"
+    # Chunk geometry sets the byte-level edit granularity the PCM MinHash can
+    # absorb: with ~E random edits per clip, chunks must be ~clip/(4E) or
+    # smaller for the chunk-set Jaccard to stay above threshold.
+    chunk_opts: ChunkerOpts = field(
+        default_factory=lambda: ChunkerOpts(min_size=64, normal_size=256, max_size=2048)
+    )
+    k: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    # Character shingles: robust to token edits on short transcripts (word
+    # n-grams collapse the Jaccard of a 5-word transcript after 2 edits).
+    shingle_n: int = 4
+    pair_cap: int = 64
+    jaccard_threshold: float = 0.5
+    hamming_threshold: int = 8
+    band_partitions: int | None = None
+
+    def to_json(self) -> str:
+        d = dict(self.__dict__)
+        d["chunk_opts"] = {
+            "min_size": self.chunk_opts.min_size,
+            "normal_size": self.chunk_opts.normal_size,
+            "max_size": self.chunk_opts.max_size,
+        }
+        return json.dumps(d, sort_keys=True)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = config or PipelineConfig()
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- stage cache ------------------------------------------------------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _lineage(self, stage: str, rows: int, started: float, partitions: int) -> None:
+        row = [(stage, int(rows), float(started), float(time.time()),
+                int(partitions), self.cfg.to_json())]
+        df = self.spark.createDataFrame(
+            row,
+            "stage string, rows_out long, started double, finished double, "
+            "partitions int, config string",
+        )
+        df.coalesce(1).write.mode("append").parquet(os.path.join(self.workdir, "lineage"))
+
+    def stage(self, name: str, build) -> DataFrame:
+        """Idempotent stage: reuse completed output, else compute + persist +
+        record lineage."""
+        p = self._path(name)
+        if self._done(name):
+            return self.spark.read.parquet(p)
+        started = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(p)
+        out = self.spark.read.parquet(p)
+        self._lineage(name, out.count(), started, out.rdd.getNumPartitions())
+        return out
+
+    # -- stages ------------------------------------------------------------
+
+    def run(self, clips: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        chunks = self.stage(
+            "chunks_pcm",
+            lambda: chunking.chunk_clips(clips, cfg.algorithm, cfg.chunk_opts),
+        )
+        sig_pcm = self.stage(
+            "sig_pcm", lambda: signatures.minhash_signatures(chunks, k=cfg.k)
+        )
+        sig_text = self.stage(
+            "sig_text",
+            lambda: signatures.minhash_signatures(
+                signatures.char_shingles(clips, n=cfg.shingle_n),
+                item_col="shingle",
+                k=cfg.k,
+            ),
+        )
+        sim = self.stage("simhash_text", lambda: signatures.simhash64(clips))
+
+        def build_bands():
+            bp = signatures.lsh_bands(sig_pcm, cfg.bands, cfg.rows_per_band, src="pcm")
+            bt = signatures.lsh_bands(sig_text, cfg.bands, cfg.rows_per_band, src="text")
+            return bp.unionByName(bt)
+
+        bands = self.stage("bands", build_bands)
+
+        cands = self.stage(
+            "candidates",
+            lambda: cand_ops.candidate_pairs(
+                bands, pair_cap=cfg.pair_cap, shuffle_partitions=cfg.band_partitions
+            ),
+        )
+        verified = self.stage(
+            "verified",
+            lambda: cand_ops.verify_pairs_dual(
+                cands,
+                sig_pcm,
+                sig_text,
+                sim,
+                k=cfg.k,
+                jaccard_threshold=cfg.jaccard_threshold,
+                hamming_threshold=cfg.hamming_threshold,
+            ),
+        )
+        contained = self.stage(
+            "containment",
+            lambda: cand_ops.containment_pass(verified, clips),
+        )
+        edges = contained.filter(F.col("is_dup") | F.col("containment"))
+        comps = self.stage(
+            "components",
+            lambda: components.connected_components(
+                clips.select("clip_id"), edges.select("a", "b")
+            ),
+        )
+        return comps
+
+    def lineage_table(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "lineage"))

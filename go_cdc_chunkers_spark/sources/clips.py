@@ -134,7 +134,13 @@ def generate_clips(
         src = int(rng.integers(0, n_base))
         clip_id = f"clip-{next_id:08d}"
         next_id += 1
-        pcm = _jitter(rng, _insert_samples(rng, base_pcm[src], n_edits))
+        # Half the near-dups are insertion-only (recoverable via PCM chunk
+        # MinHash, the CDC resync property); half add amplitude jitter that
+        # perturbs every byte (recoverable only via the transcript path --
+        # exactly why the north star pairs SimHash with chunk MinHash).
+        pcm = _insert_samples(rng, base_pcm[src], n_edits)
+        if k % 2 == 1:
+            pcm = _jitter(rng, pcm)
         words = _edit_transcript(rng, base_words[src])
         rows.append(dict(
             clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr,
@@ -150,7 +156,9 @@ def generate_clips(
         raw = np.full(2 * n_samples, fill, dtype=np.uint8)
         rows.append(dict(
             clip_id=clip_id, bytes=raw.tobytes(), sr_hz=sr,
-            dur_ms=500, codec="pcm_s16le", transcript="constant signal",
+            dur_ms=500, codec="pcm_s16le",
+            transcript=("digital silence flat padding" if fill == 0
+                        else "alternating bitpattern carrier hum"),
         ))
         truth[clip_id] = n_base + (k % 2)  # two constant groups
     return rows, truth

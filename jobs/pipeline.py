@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the near-duplicate pipeline (P12).
+
+Cluster usage (the 10^12-clip deployment shape):
+
+    python tools/package.py   # builds dist/go_cdc_chunkers_spark.zip
+    spark-submit \
+      --py-files dist/go_cdc_chunkers_spark.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+      jobs/pipeline.py --clips <iceberg-ident-or-parquet-path> \
+                       --workdir <checkpoint root> [--synthetic N]
+
+Local smoke: python jobs/pipeline.py --synthetic 200 --workdir /tmp/pipe
+Resume: re-run with the same --workdir; finished stages are reused
+(per-stage _SUCCESS markers + the lineage table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", default=None, help="clips table (parquet path or Iceberg ident)")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a deterministic synthetic clips table of N base clips")
+    ap.add_argument("--algorithm", default="fastcdc-v1.0.0")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (local mode only)")
+    args = ap.parse_args()
+
+    from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
+    from go_cdc_chunkers_spark.session import get_spark
+    from go_cdc_chunkers_spark.sources import iceberg
+    from go_cdc_chunkers_spark.sources import clips as clips_src
+
+    spark = get_spark(app="neardup-pipeline", cpus=args.cpus)
+
+    if args.synthetic:
+        rows, _ = clips_src.generate_clips(n_base=args.synthetic)
+        clips = spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rows],
+            schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                   "codec string, transcript string",
+        )
+    elif args.clips:
+        clips = iceberg.read_table(spark, args.clips)
+    else:
+        ap.error("need --clips or --synthetic")
+        return 2
+
+    cfg = PipelineConfig(algorithm=args.algorithm)
+    t0 = time.time()
+    pipe = Pipeline(spark, args.workdir, cfg)
+    comps = pipe.run(clips)
+    n_clips = comps.count()
+    n_comps = comps.select("component_id").distinct().count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "clips": n_clips,
+        "components": n_comps,
+        "seconds": round(dt, 2),
+        "clips_per_sec": round(n_clips / dt, 2),
+        "workdir": args.workdir,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

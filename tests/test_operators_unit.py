@@ -1,0 +1,198 @@
+"""Unit tests for the pipeline operators: MinHash estimator bounds, LSH
+banding, SimHash, candidate skew handling, connected components, suffix-array
+containment, ANN, multimodal audio features."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_chunkers_spark.operators import candidates as cand_ops
+from go_cdc_chunkers_spark.operators import components, signatures, similarity
+from go_cdc_chunkers_spark.operators.candidates import _sa_contains, _suffix_array
+
+
+# ---------------------------------------------------------------------------
+# suffix array (pure python/numpy)
+# ---------------------------------------------------------------------------
+
+def test_suffix_array_correct():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = int(rng.integers(1, 200))
+        s = "".join(chr(97 + int(c)) for c in rng.integers(0, 4, n))
+        sa = _suffix_array(s)
+        suffixes = sorted(range(len(s)), key=lambda i: s[i:])
+        assert list(sa) == suffixes, s
+
+
+def test_sa_contains_matches_in():
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = int(rng.integers(1, 80))
+        hay = "".join(chr(97 + int(c)) for c in rng.integers(0, 3, n))
+        m = int(rng.integers(0, 6))
+        needle = "".join(chr(97 + int(c)) for c in rng.integers(0, 3, m))
+        assert _sa_contains(hay, needle) == (needle in hay), (hay, needle)
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH / SimHash (Spark)
+# ---------------------------------------------------------------------------
+
+def test_minhash_jaccard_estimate(spark):
+    # Two sets with known Jaccard 1/3 (|A∩B|=50, |A∪B|=150): the k=256
+    # estimate should land within ~3 sigma (sigma = sqrt(j(1-j)/k) ~ 0.029).
+    a_items = [("a", f"item-{i}") for i in range(100)]
+    b_items = [("b", f"item-{i}") for i in range(50, 150)]
+    df = spark.createDataFrame(a_items + b_items, "clip_id string, chunk_hash string")
+    sig = signatures.minhash_signatures(df, item_col="chunk_hash", k=256).collect()
+    s = {r.clip_id: r.minhash for r in sig}
+    est = sum(1 for x, y in zip(s["a"], s["b"]) if x == y) / 256
+    assert abs(est - 1 / 3) < 0.09
+    # identical sets -> identical signatures
+    df2 = spark.createDataFrame(
+        [("x", f"i{i}") for i in range(30)] + [("y", f"i{i}") for i in range(30)],
+        "clip_id string, chunk_hash string",
+    )
+    sig2 = {r.clip_id: r.minhash for r in
+            signatures.minhash_signatures(df2, item_col="chunk_hash", k=64).collect()}
+    assert sig2["x"] == sig2["y"]
+
+
+def test_lsh_bands_shape_and_collision(spark):
+    df = spark.createDataFrame(
+        [("x", f"i{i}") for i in range(30)] + [("y", f"i{i}") for i in range(30)],
+        "clip_id string, chunk_hash string",
+    )
+    sig = signatures.minhash_signatures(df, item_col="chunk_hash", k=128)
+    bands = signatures.lsh_bands(sig, bands=16, rows_per_band=8)
+    rows = bands.collect()
+    assert len(rows) == 2 * 16
+    byband = {}
+    for r in rows:
+        byband.setdefault((r.band_id, r.band_hash), []).append(r.clip_id)
+    # identical signatures collide in every band
+    assert all(len(v) == 2 for v in byband.values())
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy cat"),
+         ("c", "completely different words entirely unrelated content here")],
+        "clip_id string, transcript string",
+    )
+    sim = {r.clip_id: r.simhash for r in signatures.simhash64(df).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(sim["a"], sim["b"]) < ham(sim["a"], sim["c"])
+    assert ham(sim["a"], sim["a"]) == 0
+
+
+def test_candidate_pairs_skew_star(spark):
+    # A hot bucket (identical band rows for 100 clips) must produce star
+    # edges (n-1), not the quadratic n(n-1)/2.
+    hot = [(0, 12345, f"c{i:03d}", "pcm") for i in range(100)]
+    cold = [(1, 777, "x1", "pcm"), (1, 777, "x2", "pcm")]
+    bands = spark.createDataFrame(
+        hot + cold, "band_id int, band_hash long, clip_id string, src string"
+    )
+    pairs = cand_ops.candidate_pairs(bands, pair_cap=10).collect()
+    hot_pairs = [p for p in pairs if p.a.startswith("c")]
+    assert len(hot_pairs) == 99  # star, not 4950
+    assert all(p.a == "c000" for p in hot_pairs)
+    cold_pairs = [p for p in pairs if p.a == "x1"]
+    assert len(cold_pairs) == 1 and cold_pairs[0].b == "x2"
+    # connectivity preserved: CC over star == one component
+    verts = spark.createDataFrame([(f"c{i:03d}",) for i in range(100)], "clip_id string")
+    edges = spark.createDataFrame([(p.a, p.b) for p in hot_pairs], "a string, b string")
+    comp = components.connected_components(verts, edges).collect()
+    assert len({r.component_id for r in comp}) == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    verts = spark.createDataFrame([(f"v{i}",) for i in range(10)], "clip_id string")
+    # chain v0-v1-v2-v3, pair v5-v6, islands v4, v7..v9
+    edges = spark.createDataFrame(
+        [("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v5", "v6")], "a string, b string"
+    )
+    comp = {r.clip_id: r.component_id for r in
+            components.connected_components(verts, edges).collect()}
+    assert comp["v0"] == comp["v1"] == comp["v2"] == comp["v3"] == "v0"
+    assert comp["v5"] == comp["v6"] == "v5"
+    assert comp["v4"] == "v4" and comp["v9"] == "v9"
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    v = vecs.astype(np.float64)
+    sims = v @ v.T / np.outer(np.linalg.norm(v, axis=1), np.linalg.norm(v, axis=1))
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:4]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rk) if r.query_id == q]
+        assert mine == order, (q, mine, order)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(4)
+    # clustered vectors so LSH has structure to find
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = np.vstack([c + rng.standard_normal((12, 24)) * 0.3 for c in centers]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    bf = similarity.brute_force_topk(df, q, k=3).collect()
+    lsh = similarity.lsh_bucketed_topk(df, q, k=3, n_bits=16, bands=8).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    lsh_set = {(r.query_id, r.neighbor_id) for r in lsh}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.8, recall
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio
+# ---------------------------------------------------------------------------
+
+def test_audio_frame_features_match_numpy(spark):
+    from go_cdc_chunkers_spark.operators.multimodal import audio_frame_features
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("c0", bytearray(pcm.tobytes()), sr, 1000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    rows = audio_frame_features(df, frame_ms=20).collect()
+    assert len(rows) == 50  # 1s / 20ms
+    w = sr * 20 // 1000
+    f0 = pcm[:w].astype(np.float64) / 32768.0
+    want_energy = float(np.sqrt((f0**2).mean()))
+    got0 = next(r for r in rows if r.frame_idx == 0)
+    assert abs(got0.energy - want_energy) < 1e-6
+    # a 440 Hz sine has 2*440 zero crossings/s -> zcr ~ 880/16000
+    assert abs(got0.zcr - 880 / 16000) < 0.01
+
+
+def test_image_features_stub_and_fake(spark):
+    from go_cdc_chunkers_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [("i0", bytearray(b"\x01\x02\x03\x04\x05\x06\x07\x08"))],
+        "item_id string, bytes binary",
+    )
+    rows = image_features(df, deterministic_fake=True).collect()
+    assert rows[0].width > 0 and rows[0].height > 0
+    with pytest.raises(Exception):
+        image_features(df, deterministic_fake=False).collect()

@@ -1,0 +1,133 @@
+"""Pipeline-level gates (SURVEY.md section 5.8 / north_rule):
+
+  - dup-pair recall >= 0.99 against the brute-force ground truth of the
+    synthetic table (all intra-group pairs, transitively closed -- exactly
+    what connected components must recover);
+  - precision sanity (clusters don't collapse the corpus);
+  - resume-from-checkpoint idempotency: a second run over the same workdir
+    recomputes nothing and yields identical assignments; deleting a
+    late-stage output re-runs only that suffix with identical results;
+  - per-row invariant: decoded PCM round-trips (allclose / SNR) and
+    transcript equality between the table and the decode operator.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_chunkers_spark.operators.components import dup_pairs_from_components
+from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
+from go_cdc_chunkers_spark.sources import clips as clips_src
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    kw = dict(n_base=60, dup_frac=0.3, near_frac=0.3, n_const=4, seed=42)
+    rows, truth = clips_src.generate_clips(**kw)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+          r["codec"], r["transcript"]) for r in rows],
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    df.cache().count()
+    return df, rows, truth
+
+
+def truth_pairs(truth: dict) -> set:
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for cid, gid in truth.items():
+        groups[gid].append(cid)
+    pairs = set()
+    for members in groups.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, synth, tmp_path_factory):
+    df, rows, truth = synth
+    wd = str(tmp_path_factory.mktemp("pipe"))
+    pipe = Pipeline(spark, wd, PipelineConfig())
+    comps = pipe.run(df)
+    return pipe, wd, comps.collect()
+
+
+def test_recall_gate(pipeline_run, synth, spark):
+    _pipe, _wd, comp_rows = pipeline_run
+    df, rows, truth = synth
+    comps = spark.createDataFrame(comp_rows)
+    predicted = {
+        (r.a, r.b) for r in dup_pairs_from_components(comps).collect()
+    }
+    want = truth_pairs(truth)
+    found = len(want & predicted)
+    recall = found / len(want)
+    assert recall >= 0.99, f"recall {recall:.4f} ({found}/{len(want)})"
+
+
+def test_precision_sanity(pipeline_run, synth, spark):
+    _pipe, _wd, comp_rows = pipeline_run
+    df, rows, truth = synth
+    comps = spark.createDataFrame(comp_rows)
+    predicted = {
+        (r.a, r.b) for r in dup_pairs_from_components(comps).collect()
+    }
+    want = truth_pairs(truth)
+    # every predicted pair should be a true pair on this fixture (distinct
+    # base clips are random-content, far apart in every channel)
+    wrong = predicted - want
+    precision = 1 - len(wrong) / max(len(predicted), 1)
+    assert precision >= 0.95, f"precision {precision:.4f}, wrong={sorted(wrong)[:5]}"
+
+
+def test_lineage_written(pipeline_run, spark):
+    pipe, wd, _ = pipeline_run
+    lin = pipe.lineage_table().collect()
+    stages = {r.stage for r in lin}
+    assert {"chunks_pcm", "sig_pcm", "sig_text", "simhash_text", "bands",
+            "candidates", "verified", "containment", "components"} <= stages
+    assert all(r.finished >= r.started for r in lin)
+
+
+def test_resume_idempotent(pipeline_run, synth, spark):
+    pipe, wd, comp_rows = pipeline_run
+    df, rows, truth = synth
+    # Re-run over the same workdir: all stages resume, result identical.
+    pipe2 = Pipeline(spark, wd, PipelineConfig())
+    again = pipe2.run(df).collect()
+    assert sorted((r.clip_id, r.component_id) for r in again) == sorted(
+        (r.clip_id, r.component_id) for r in comp_rows
+    )
+    n_lineage_before = pipe2.lineage_table().count()
+    # Kill a late stage; only that suffix recomputes and output matches.
+    shutil.rmtree(f"{wd}/components")
+    pipe3 = Pipeline(spark, wd, PipelineConfig())
+    third = pipe3.run(df).collect()
+    assert sorted((r.clip_id, r.component_id) for r in third) == sorted(
+        (r.clip_id, r.component_id) for r in comp_rows
+    )
+    assert pipe3.lineage_table().count() == n_lineage_before + 1
+
+
+def test_per_row_invariant_decode_and_transcript(synth, spark):
+    """BASELINE.json input_hint: decoded-PCM allclose (SNR >= 30 dB) +
+    transcript equality, checked per row through the Spark path."""
+    df, rows, truth = synth
+    got = {r["clip_id"]: r for r in (row.asDict() for row in df.collect())}
+    for r in rows:
+        g = got[r["clip_id"]]
+        ref = clips_src.decode_pcm(r["bytes"], r["codec"])
+        spk = clips_src.decode_pcm(bytes(g["bytes"]), g["codec"])
+        assert np.array_equal(ref, spk)  # exact: stronger than allclose
+        sig = float(np.mean(ref.astype(np.float64) ** 2))
+        noise = float(np.mean((ref.astype(np.float64) - spk.astype(np.float64)) ** 2))
+        snr_ok = noise == 0 or 10 * np.log10(sig / noise) >= 30
+        assert snr_ok
+        assert g["transcript"] == r["transcript"]
