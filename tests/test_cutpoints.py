@@ -183,3 +183,39 @@ def test_validation_errors():
     # fixed Setup validates eagerly (fixed.go:58)
     with pytest.raises(ChunkerError, match="power of two"):
         resolve("fixed-v1.0.0", ChunkerOpts(normal_size=100))
+
+
+def test_registry_contract():
+    # D6 (chunkers.go:59-67): 10 names, duplicate registration errors.
+    from go_cdc_chunkers_spark.cdc.registry import ALGORITHMS
+
+    assert len(ALGORITHMS.names()) == 10
+    assert "fastcdc-v1.0.0" in ALGORITHMS and "fixed-v1.0.0" in ALGORITHMS
+    with pytest.raises(ChunkerError, match="already registered"):
+        ALGORITHMS.register("fastcdc", lambda r, d: [])
+    with pytest.raises(ChunkerError, match="unknown algorithm"):
+        ALGORITHMS.split_lengths("nope", b"xx")
+    assert sum(ALGORITHMS.split_lengths("fixed-v1.0.0", bytes(100_000))) == 100_000
+
+
+def test_distribution_semantics_match_go():
+    # stats.go:91-116: index-based percentiles, truncated avg, population
+    # stddev -- checked against a direct Python transliteration.
+    import math
+    import numpy as np
+    rng = np.random.default_rng(2)
+    lengths = sorted(int(x) for x in rng.integers(100, 10_000, 333))
+    mn, mx = lengths[0], lengths[-1]
+    p50 = lengths[len(lengths) * 50 // 100]
+    p95 = lengths[len(lengths) * 95 // 100]
+    mean = sum(lengths) / len(lengths)
+    avg = int(mean)
+    stddev = math.sqrt(sum((l - mean) ** 2 for l in lengths) / len(lengths))
+    # Spark path
+    from go_cdc_chunkers_spark.session import get_spark
+    from go_cdc_chunkers_spark.operators.stats import distribution
+    spark = get_spark(app="dist-test", cpus=4, shuffle_partitions=4)
+    df = spark.createDataFrame([("a", l) for l in lengths], "algo string, length int")
+    row = distribution(df).collect()[0]
+    assert (row.min_len, row.p50, row.avg_len, row.p95, row.max_len) == (mn, p50, avg, p95, mx)
+    assert abs(row.stddev_len - stddev) < 1e-9
