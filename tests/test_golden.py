@@ -98,7 +98,7 @@ def test_random_substitute_goldens():
     """Self-goldens over a substitute random stream (see module docstring)."""
     path = FIXTURES / "golden_random_substitute.json"
     got = {}
-    for name, n in [("pyrand-tiny-64", 64), ("pyrand-3x-maxmax", 3 * MAX_MAX)]:
+    for name, n in [("pyrand-tiny-64", 64), ("pyrand-1p5x-maxmax", 3 * MAX_MAX // 2)]:
         data = substitute_random(n)
         for algo, keyed in ALGOS:
             for profile, (mn, nm, mx) in PROFILES.items():
