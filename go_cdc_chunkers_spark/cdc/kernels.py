@@ -58,10 +58,38 @@ def _scratch(slot: str, n: int, dtype) -> np.ndarray:
     return a[:n]
 
 
-def _gear_lookup(table: np.ndarray, data: np.ndarray) -> np.ndarray:
-    out = _scratch("gear_g", len(data), np.uint64)
-    np.take(table, data, out=out)
-    return out
+# Cache-blocked precompute: the Gear hash intermediates (8-byte lookups, the
+# 6 doubling passes, mask tests) would otherwise stream ~250 bytes of DRAM
+# traffic per input byte, which saturates this machine's memory bandwidth at
+# ~8 concurrent workers (measured: local[32] *slower* than local[8]). Doing
+# the same work in 128K-position blocks keeps every intermediate in cache --
+# DRAM sees the input once plus the ~1 byte/position boolean outputs, so the
+# kernel scales with cores, not bus width. The 63-byte overlap reproduces the
+# rolling hash's finite memory across block edges.
+_BLOCK = 1 << 17
+
+
+def _gear_hits_blocked(
+    table: np.ndarray, data: np.ndarray, masks: list[int], slots: list[str]
+) -> list[np.ndarray]:
+    """Boolean hit arrays out[m][i] = ((SS[i] & masks[m]) == 0), blockwise."""
+    N = len(data)
+    outs = [_scratch(s, N, bool) for s in slots]
+    m64 = [_U64(m) for m in masks]
+    for start in range(0, N, _BLOCK):
+        end = min(start + _BLOCK, N)
+        lo = max(0, start - 63)
+        g = _scratch("blk_g", end - lo, np.uint64)
+        np.take(table, data[lo:end], out=g)
+        F = _gear_steady(g, slot="blk_f")
+        seg = F[start - lo :]
+        tmp = _scratch("blk_t", end - start, np.uint64)
+        for m, out in zip(m64, outs):
+            np.bitwise_and(seg, m, out=tmp)
+            np.equal(tmp, _U64(0), out=out[start:end])
+    return outs
+
+
 
 
 def _gear_steady(g: np.ndarray, slot: str = "gs_small") -> np.ndarray:
@@ -80,24 +108,6 @@ def _gear_steady(g: np.ndarray, slot: str = "gs_small") -> np.ndarray:
         F[shift:] += tmp[shift:]
         shift *= 2
     return F
-
-
-def _first_in_range(events: np.ndarray, lo: int, hi: int) -> int:
-    """First event position in [lo, hi), or -1."""
-    idx = int(np.searchsorted(events, lo, side="left"))
-    if idx < len(events) and events[idx] < hi:
-        return int(events[idx])
-    return -1
-
-
-def _zero_hits(SS: np.ndarray, mask: int, slot: str) -> np.ndarray:
-    """Pooled boolean array: hit[i] = (SS[i] & mask == 0)."""
-    n = len(SS)
-    tmp = _scratch("zp_tmp", n, np.uint64)
-    np.bitwise_and(SS, _U64(mask), out=tmp)
-    hit = _scratch(slot, n, bool)
-    np.equal(tmp, _U64(0), out=hit)
-    return hit
 
 
 def _first_true(hits: np.ndarray, lo: int, hi: int) -> int:
@@ -122,11 +132,8 @@ def _fastcdc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> li
     N = len(data)
     if N == 0:
         return []
-    g = _gear_lookup(table, data)
-    SS = _gear_steady(g, slot="ss")
     mask_s, mask_l = _U64(r.mask_s), _U64(r.mask_l)
-    zs = _zero_hits(SS, r.mask_s, "fc_zs")
-    zl = _zero_hits(SS, r.mask_l, "fc_zl")
+    zs, zl = _gear_hits_blocked(table, data, [r.mask_s, r.mask_l], ["fc_zs", "fc_zl"])
     min_size, max_size = r.min_size, r.max_size
 
     lengths: list[int] = []
@@ -140,7 +147,7 @@ def _fastcdc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> li
         cut = -1
         # Exact prefix region [min, min(min+63, n)): fp has < 64 terms.
         hi = min(min_size + 63, n)
-        seg = _gear_steady(g[pos + min_size : pos + hi])
+        seg = _gear_steady(table[data[pos + min_size : pos + hi]])
         masks = np.where(
             np.arange(min_size, hi) < normal, mask_s, mask_l
         ).astype(np.uint64)
@@ -175,10 +182,10 @@ def _jc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> list[in
     N = len(data)
     if N == 0:
         return []
-    g = _gear_lookup(table, data)
-    SS = _gear_steady(g, slot="ss")
     mask_c, mask_j = r.mask_c, r.mask_j
-    zj = _zero_hits(SS, mask_j, "jc_zj")
+    # zc[q] answers the cut test (maskJ subset-of maskC in every config the
+    # reference ships, but we store both so the walk never needs SS values).
+    zj, zc = _gear_hits_blocked(table, data, [mask_j, mask_c], ["jc_zj", "jc_zc"])
     min_size, max_size, normal_size = r.min_size, r.max_size, r.normal_size
     jump = r.jump_length
 
@@ -194,7 +201,7 @@ def _jc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> list[in
         while i < n:
             # Exact region [i, min(i+63, n)): fp has < 64 terms since reset.
             hi = min(i + 63, n)
-            seg = _gear_steady(g[pos + i : pos + hi])
+            seg = _gear_steady(table[data[pos + i : pos + hi]])
             ev = np.flatnonzero((seg & _U64(mask_j)) == 0)
             if ev.size:
                 p = i + int(ev[0])
@@ -209,7 +216,7 @@ def _jc_lengths(data: np.ndarray, r: ResolvedOpts, table: np.ndarray) -> list[in
             q = _first_true(zj, pos + i + 63, pos + n)
             if q < 0:
                 break
-            if int(SS[q]) & mask_c == 0:
+            if zc[q]:
                 cut = q - pos
                 break
             i = (q - pos) + jump
@@ -360,9 +367,19 @@ def _stadia_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
         b = data.tobytes()
         return naive.split_naive(r, b)
     thresh = _U64(MASK64 // (r.normal_size - min_size + 1))
-    g = _gear_lookup(GEAR64, data)
-    SS = _gear_steady(g, slot="ss")
-    B = _bitlen_u64(SS)
+    # Blocked precompute (see _gear_hits_blocked rationale): B = bitlen of
+    # the steady-state hash at each position; thr = (hash <= thresh).
+    B = _scratch("st_b", N, np.int16)
+    thr = _scratch("st_thr", N, bool)
+    for start in range(0, N, _BLOCK):
+        end = min(start + _BLOCK, N)
+        lo = max(0, start - 63)
+        gblk = _scratch("blk_g", end - lo, np.uint64)
+        np.take(GEAR64, data[lo:end], out=gblk)
+        F = _gear_steady(gblk, slot="blk_f")
+        seg = F[start - lo :]
+        B[start:end] = _bitlen_u64(seg)
+        np.less_equal(seg, thresh, out=thr[start:end])
 
     lengths: list[int] = []
     pos = 0
@@ -375,14 +392,13 @@ def _stadia_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
         # exactly 64 bytes before MinSize, so the all-ones init is gone).
         lo, hi = pos + min_size - 1, pos + n - 1
         Bw = B[lo:hi]
-        SSw = SS[lo:hi]
         # Records: positions passing hash & regressionMask == 0, i.e. bitlen
         # <= best-so-far (first check always passes: mask starts at 0).
         rmin = np.minimum.accumulate(Bw)
         rec = np.empty(len(Bw), dtype=bool)
         rec[0] = True
         rec[1:] = Bw[1:] <= rmin[:-1]
-        cutcand = np.flatnonzero(rec & (SSw <= thresh))
+        cutcand = np.flatnonzero(rec & thr[lo:hi])
         if cutcand.size:
             cut = min_size + int(cutcand[0])
         else:
