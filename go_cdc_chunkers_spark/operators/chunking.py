@@ -94,12 +94,19 @@ def chunk_clips(
     """clips -> chunks relation (P3). One shuffle-free narrow stage:
     Scan -> ArrowEvalPython -> Generate(posexplode) -> Project."""
     udf = make_chunk_udf(algorithm, opts)
+    # posexplode_outer, not posexplode: the non-outer Generate makes Catalyst
+    # insert a `size(udf(bytes)) > 0` pre-filter that extracts a SECOND
+    # ArrowEvalPython node -- the chunk kernel would run twice per row. The
+    # outer variant generates unconditionally; empty clips surface as one
+    # null row which the post-Generate filter (on Generate *output*, no UDF
+    # reference) drops, preserving the empty-input contract.
     return (
         df.select(F.col(id_col).alias("clip_id"), udf(F.col(data_col)).alias("_chunks"))
         .select(
             "clip_id",
-            F.posexplode("_chunks").alias("chunk_idx", "_c"),
+            F.posexplode_outer("_chunks").alias("chunk_idx", "_c"),
         )
+        .filter(F.col("chunk_idx").isNotNull())
         .select(
             "clip_id",
             F.lit(algorithm).alias("algo"),

@@ -65,7 +65,10 @@ def test_chunking_plan_is_narrow_and_vectorized(spark, clips_df):
     BatchEvalPython."""
     df, _ = clips_df
     plan = chunking.chunk_clips(df, "fastcdc-v1.0.0", OPTS)._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in plan
+    # exactly ONE Python stage: a duplicated ArrowEvalPython means Catalyst
+    # re-extracted the UDF (e.g. into a pre-Generate filter) and the kernel
+    # would run twice per row.
+    assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # narrow: scan -> udf -> generate -> project
 
