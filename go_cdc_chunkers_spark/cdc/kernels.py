@@ -341,19 +341,16 @@ def _ultracdc_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
 # ---------------------------------------------------------------------------
 
 def _bitlen_u64(x: np.ndarray) -> np.ndarray:
-    n = len(x)
-    out = _scratch("bl_out", n, np.int16)
-    out[:] = 0
-    v = _scratch("bl_v", n, np.uint64)
-    v[:] = x
-    m = _scratch("bl_m", n, bool)
-    for sh in (32, 16, 8, 4, 2, 1):
-        np.greater_equal(v, _U64(1) << _U64(sh), out=m)
-        out[m] += sh
-        v[m] >>= _U64(sh)
-    np.greater(x, _U64(0), out=m)
-    out[m] += 1
-    return out
+    """Exact bit length of uint64 values, fully vectorized.
+
+    Split into 32-bit halves; each half fits float64 exactly, so frexp's
+    exponent IS the bit length (frexp(v) = (m, e) with v = m*2^e, 0.5<=m<1;
+    frexp(0) = (0, 0)). No masked writes (those dominated the profile)."""
+    hi = x >> _U64(32)
+    lo = x & _U64(0xFFFFFFFF)
+    _, e_hi = np.frexp(hi.astype(np.float64))
+    _, e_lo = np.frexp(lo.astype(np.float64))
+    return np.where(hi > 0, e_hi + 32, e_lo).astype(np.int16)
 
 
 def _stadia_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
@@ -391,21 +388,35 @@ def _stadia_lengths(data: np.ndarray, r: ResolvedOpts) -> list[int]:
         # hash checked at local index p equals SS[pos+p-1] (warmup covers
         # exactly 64 bytes before MinSize, so the all-ones init is gone).
         lo, hi = pos + min_size - 1, pos + n - 1
-        Bw = B[lo:hi]
         # Records: positions passing hash & regressionMask == 0, i.e. bitlen
         # <= best-so-far (first check always passes: mask starts at 0).
-        rmin = np.minimum.accumulate(Bw)
-        rec = np.empty(len(Bw), dtype=bool)
-        rec[0] = True
-        rec[1:] = Bw[1:] <= rmin[:-1]
-        cutcand = np.flatnonzero(rec & thr[lo:hi])
-        if cutcand.size:
-            cut = min_size + int(cutcand[0])
-        else:
+        # Segmented with early exit: the expected cut distance is
+        # ~(normal-min), so scanning the full MaxSize window wastes ~8x.
+        seg_sz = max(4096, r.normal_size - min_size)
+        best = 255  # > any 64-bit bitlen -> first check passes
+        k_last = -1
+        cut = -1
+        s0 = lo
+        while s0 < hi and cut < 0:
+            s1 = min(s0 + seg_sz, hi)
+            Bseg = B[s0:s1]
+            rmin = np.minimum.accumulate(Bseg)
+            rec = np.empty(len(Bseg), dtype=bool)
+            rec[0] = Bseg[0] <= best
+            np.less_equal(Bseg[1:], np.minimum(rmin[:-1], np.int16(best)), out=rec[1:])
+            cutc = rec & thr[s0:s1]
+            j = int(np.argmax(cutc))
+            if cutc[j]:
+                cut = min_size + (s0 - lo) + j
+                break
             recs = np.flatnonzero(rec)
-            k_last = int(recs[-1])
+            if recs.size:
+                k_last = (s0 - lo) + int(recs[-1])
+            best = min(best, int(rmin[-1]))
+            s0 = s1
+        if cut < 0:
             # Post-loop: hash now includes byte n-1 -> SS[pos+n-1].
-            if int(B[pos + n - 1]) <= int(Bw[k_last]):
+            if k_last < 0 or int(B[pos + n - 1]) <= best:
                 cut = n
             else:
                 cut = min_size + k_last

@@ -85,14 +85,30 @@ class Pipeline:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def _lineage(self, stage: str, rows: int, started: float, partitions: int) -> None:
-        row = [(stage, int(rows), float(started), float(time.time()),
-                int(partitions), self.cfg.to_json())]
-        df = self.spark.createDataFrame(
-            row,
-            "stage string, rows_out long, started double, finished double, "
-            "partitions int, config string",
-        )
-        df.coalesce(1).write.mode("append").parquet(os.path.join(self.workdir, "lineage"))
+        # Driver-side JSONL append: lineage must not cost a Spark job per
+        # stage (it did, ~2 jobs x 9 stages of pure scheduler latency). The
+        # file is still a first-class table via lineage_table(). On a real
+        # cluster this row goes to an Iceberg metrics table through the same
+        # gateway as the data (sources/iceberg.py).
+        row = {
+            "stage": stage, "rows_out": int(rows), "started": float(started),
+            "finished": float(time.time()), "partitions": int(partitions),
+            "config": self.cfg.to_json(),
+        }
+        with open(os.path.join(self.workdir, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    @staticmethod
+    def _parquet_meta(path: str) -> tuple[int, int]:
+        """(rows, files) from parquet footers -- no Spark job."""
+        import pyarrow.parquet as pq
+
+        rows = files = 0
+        for fn in os.listdir(path):
+            if fn.endswith(".parquet"):
+                rows += pq.read_metadata(os.path.join(path, fn)).num_rows
+                files += 1
+        return rows, files
 
     def stage(self, name: str, build) -> DataFrame:
         """Idempotent stage: reuse completed output, else compute + persist +
@@ -103,9 +119,9 @@ class Pipeline:
         started = time.time()
         df = build()
         df.write.mode("overwrite").parquet(p)
-        out = self.spark.read.parquet(p)
-        self._lineage(name, out.count(), started, out.rdd.getNumPartitions())
-        return out
+        rows, files = self._parquet_meta(p)
+        self._lineage(name, rows, started, files)
+        return self.spark.read.parquet(p)
 
     # -- stages ------------------------------------------------------------
 
@@ -168,4 +184,4 @@ class Pipeline:
         return comps
 
     def lineage_table(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, "lineage"))
+        return self.spark.read.json(os.path.join(self.workdir, "lineage.jsonl"))
