@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions: the properties that make these operators
+survive a 100x scale-up, pinned as tests so regressions in plan quality fail
+CI, not the cluster.
+
+  - chunking: exactly one ArrowEvalPython, no Exchange (narrow).
+  - minhash: exactly one Exchange (the clip_id groupBy) with partial
+    aggregation before it; zero Python.
+  - bands: projection only on top of the signature aggregate (no extra
+    shuffle for band hashing).
+  - candidate join: shuffles keyed on (band_id, band_hash), no Python.
+  - verification: pure JVM (zip_with/aggregate expressions).
+  - parquet scan: filter + column pruning pushed into the scan node.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+from go_cdc_chunkers_spark.operators import candidates as cand_ops
+from go_cdc_chunkers_spark.operators import chunking, signatures
+
+OPTS = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = spark.createDataFrame(
+        [(f"c{i}", bytearray(bytes([i % 251]) * 3000)) for i in range(20)],
+        "clip_id string, bytes binary",
+    )
+    df.cache().count()
+    return df
+
+
+def test_minhash_single_exchange_no_python(spark, clips):
+    chunks = chunking.chunk_clips(clips, "fastcdc-v1.0.0", OPTS)
+    sig = signatures.minhash_signatures(chunks, k=32)
+    p = plan(sig)
+    # one shuffle for the aggregate (plus whatever AQE reads back)
+    assert p.count("Exchange hashpartitioning(clip_id") == 1
+    assert "partial_min" in p or "HashAggregate" in p
+    # the signature aggregate itself adds no Python beyond the chunk UDF
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_bands_no_extra_shuffle(spark, clips):
+    chunks = chunking.chunk_clips(clips, "fastcdc-v1.0.0", OPTS)
+    sig = signatures.minhash_signatures(chunks, k=32)
+    bands = signatures.lsh_bands(sig, bands=8, rows_per_band=4)
+    assert plan(bands).count("Exchange hashpartitioning") == plan(sig).count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_candidate_join_keys(spark):
+    bands = spark.createDataFrame(
+        [(i % 4, i % 7, f"c{i}", "pcm") for i in range(50)],
+        "band_id int, band_hash long, clip_id string, src string",
+    )
+    cands = cand_ops.candidate_pairs(bands, pair_cap=16)
+    p = plan(cands)
+    assert "band_id" in p and "band_hash" in p
+    assert "Python" not in p  # entire join/verify path is JVM-side
+
+
+def test_parquet_pushdown(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_verification_pure_jvm(spark):
+    sig = spark.createDataFrame(
+        [("a", [1, 2, 3, 4]), ("b", [1, 2, 9, 9]), ("c", [5, 6, 7, 8])],
+        "clip_id string, minhash array<bigint>",
+    )
+    sim = spark.createDataFrame(
+        [("a", 7), ("b", 5), ("c", 1024)], "clip_id string, simhash long"
+    )
+    cands = spark.createDataFrame(
+        [("a", "b", ["pcm"])], "a string, b string, srcs array<string>"
+    )
+    v = cand_ops.verify_pairs_dual(cands, sig, sig, sim, k=4,
+                                   jaccard_threshold=0.5, hamming_threshold=8)
+    assert "Python" not in plan(v)
+    row = v.collect()[0]
+    assert row.jaccard_pcm == 0.5 and row.simhash_ham == 1 and bool(row.is_dup)
