@@ -29,15 +29,18 @@ def clips_df(spark):
     return df, rows
 
 
-@pytest.mark.parametrize("algo", ["fastcdc-v1.0.0", "jc-v1.1.0", "ultracdc-v1.0.0"])
+@pytest.mark.parametrize("algo", ["fastcdc-v1.0.0", "jc-v1.1.0", "ultracdc-v1.0.0", "kfastcdc"])
 def test_spark_chunks_match_kernel(spark, clips_df, algo):
     df, rows = clips_df
+    opts = OPTS if algo != "kfastcdc" else ChunkerOpts(
+        min_size=256, normal_size=1024, max_size=8192,
+        key=bytes((i * 7 + 3) & 0xFF for i in range(32)))
     got = (
-        chunking.chunk_clips(df, algo, OPTS)
+        chunking.chunk_clips(df, algo, opts)
         .orderBy("clip_id", "chunk_idx")
         .collect()
     )
-    r = resolve(algo, OPTS)
+    r = resolve(algo, opts)
     want = []
     for row in rows:
         for idx, (o, ln, h) in enumerate(kernels.split_chunks(r, row["bytes"])):
