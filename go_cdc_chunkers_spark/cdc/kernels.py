@@ -65,8 +65,10 @@ def _scratch(slot: str, n: int, dtype) -> np.ndarray:
 # the same work in 128K-position blocks keeps every intermediate in cache --
 # DRAM sees the input once plus the ~1 byte/position boolean outputs, so the
 # kernel scales with cores, not bus width. The 63-byte overlap reproduces the
-# rolling hash's finite memory across block edges.
-_BLOCK = 1 << 17
+# rolling hash's finite memory across block edges. 64K positions measured
+# best under concurrency (per-core throughput flat from 2 to 8 workers;
+# 128K+ blocks contend on shared L3).
+_BLOCK = 1 << 16
 
 
 def _gear_hits_blocked(
