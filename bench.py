@@ -128,7 +128,15 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
         clips = spark.read.parquet(corpus).repartition(cpus * 2).cache()
         clips.count()
         t = time.time()
-        pipe = Pipeline(spark, wd, PipelineConfig())
+        # Chunk geometry tracks clip size: the near-dup channel needs chunks
+        # <= clip_bytes/(4*n_edits); bench clips are 2-8 s (~160 KB), so
+        # 1 KB-average chunks keep the Jaccard signal with 4x fewer rows
+        # than the tiny-clip test geometry.
+        from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+
+        cfg = PipelineConfig(chunk_opts=ChunkerOpts(
+            min_size=256, normal_size=1024, max_size=8192))
+        pipe = Pipeline(spark, wd, cfg)
         pipe.run(clips).count()
         dt = time.time() - t
         timings["neardup_pipeline"] = round(dt, 3)
