@@ -242,13 +242,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cents_x100,
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS sum_disc_cents_x100,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))
-           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_cents_x10k,
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT AS sum_charge_cents_x10k,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -325,7 +325,7 @@ def region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGION_REVENUE_SQL = """
 SELECT r.r_name AS region, n.n_name AS nation,
        sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_cents_x100,
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)))::BIGINT AS revenue_cents_x100,
        count(*)::BIGINT AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey

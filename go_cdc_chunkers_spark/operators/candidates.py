@@ -51,7 +51,9 @@ def candidate_pairs(
     )
 
     # Star edges for hot buckets: linear, same connectivity.
-    hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.first("src").alias("hub_src"))
+    # min (not first): first() is nondeterministic under shuffle and would
+    # break the byte-identical resume contract on mixed-src hot buckets.
+    hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.min("src").alias("hub_src"))
     pairs_big = (
         big.drop("src")
         .join(hub, key)

@@ -7,29 +7,25 @@ size profiles (:70-74) x 6 inputs (:100-129). A fingerprint is
 (tests/golden_test.go:52-92); matching it means our cutpoints are
 byte-for-byte identical to the reference's.
 
-Input coverage: the 4 deterministic inputs (empty, one-byte, zeros-2x-maxmax,
-repeat-2x-maxmax) are regenerated here exactly, giving 84/126 cases verified
-bit-for-bit, including the keyed kfastcdc cases (which transitively pin the
-pure-Python BLAKE3 keyed-XOF table derivation).
-
-The 2 random inputs (tiny-64, random-3x-maxmax) are byte streams from Go's
-math/rand rand.NewSource(0) (harness_test.go:101-107). That generator's
-seeding constants (the Go runtime's rngCooked table) are not reproducible in
-this sandbox (no Go toolchain, no network), so those 42 cases cannot be
-replayed bit-exact; FIXTURES.md's fallback (snapshotting the streams) needs
-the Go toolchain too. Instead, test_random_substitute_goldens freezes
-locally-generated fingerprints over a documented numpy-seeded stream of the
-same shape, produced by the naive oracle (itself validated by the 84 exact
-cases + the differential matrix), guarding the same regression surface.
+All 126 cases replay bit-exact, including the two random inputs (tiny-64,
+random-3x-maxmax) drawn from Go's math/rand rand.NewSource(0)
+(harness_test.go:101-107): cdc/gorand.py regenerates Go's rngCooked seeding
+table offline by jumping the lagged-Fibonacci recurrence 7.8e12 steps with
+polynomial exponentiation over Z/2^64, so the exact byte streams are
+reproduced without the Go toolchain.  The `content` field of each golden
+(sha256 of the raw input) independently pins the streams; the keyed
+kfastcdc cases transitively pin the pure-Python BLAKE3 keyed-XOF table
+derivation.
 """
 
+import hashlib
 import json
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-from go_cdc_chunkers_spark.cdc import kernels
+from go_cdc_chunkers_spark.cdc import gorand, kernels
 from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts, resolve
 
 FIXTURES = Path(__file__).parent / "fixtures"
@@ -55,7 +51,7 @@ MAX_MAX = 16 * 1024 * 1024
 _INPUT_CACHE: dict[str, bytes] = {}
 
 
-def deterministic_input(name: str) -> bytes:
+def golden_input(name: str) -> bytes:
     if name not in _INPUT_CACHE:
         if name == "empty":
             data = b""
@@ -67,47 +63,54 @@ def deterministic_input(name: str) -> bytes:
             n = 2 * MAX_MAX
             pat = np.frombuffer(b"plakar", dtype=np.uint8)
             data = np.tile(pat, n // 6 + 1)[:n].tobytes()
+        elif name == "tiny-64":
+            data = gorand.read_bytes(64)
+        elif name == "random-3x-maxmax":
+            data = gorand.read_bytes(3 * MAX_MAX)
         else:
             raise KeyError(name)
         _INPUT_CACHE[name] = data
     return _INPUT_CACHE[name]
 
 
-DETERMINISTIC_INPUTS = ["empty", "one-byte", "zeros-2x-maxmax", "repeat-2x-maxmax"]
+ALL_INPUTS = ["empty", "one-byte", "tiny-64", "random-3x-maxmax",
+              "zeros-2x-maxmax", "repeat-2x-maxmax"]
 
 
 @pytest.mark.parametrize("profile", list(PROFILES))
 @pytest.mark.parametrize("algo,keyed", ALGOS)
-def test_golden_deterministic(algo, keyed, profile):
+def test_golden(algo, keyed, profile):
+    """All 126 reference fingerprints, byte-for-byte."""
     mn, nm, mx = PROFILES[profile]
     opts = ChunkerOpts(min_size=mn, normal_size=nm, max_size=mx,
                        key=FIXED_KEY if keyed else None)
     r = resolve(algo, opts)
-    for input_name in DETERMINISTIC_INPUTS:
+    for input_name in ALL_INPUTS:
         want = GOLDEN[f"{algo}|{profile}|{input_name}"]
-        got = kernels.fingerprint(r, deterministic_input(input_name))
+        got = kernels.fingerprint(r, golden_input(input_name))
         assert got == want, (algo, profile, input_name)
 
 
-def substitute_random(n: int) -> bytes:
-    # Documented substitute for Go rand.NewSource(0): numpy PCG64 seed 0.
-    return np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8).tobytes()
+# ---------------------------------------------------------------------------
+# gorand internals: the jump machinery and the reconstructed streams
+# ---------------------------------------------------------------------------
+
+def test_gorand_jump_matches_direct_simulation():
+    vec0 = gorand._srand_vec(1, (20, 10, 0))
+    for n in (1, 5, 606, 607, 608, 1000, 5000):
+        assert np.array_equal(gorand.vrand_direct(vec0, n),
+                              gorand.jump_state(vec0, n)), n
 
 
-def test_random_substitute_goldens():
-    """Self-goldens over a substitute random stream (see module docstring)."""
-    path = FIXTURES / "golden_random_substitute.json"
-    got = {}
-    for name, n in [("pyrand-tiny-64", 64), ("pyrand-1p5x-maxmax", 3 * MAX_MAX // 2)]:
-        data = substitute_random(n)
-        for algo, keyed in ALGOS:
-            for profile, (mn, nm, mx) in PROFILES.items():
-                r = resolve(algo, ChunkerOpts(min_size=mn, normal_size=nm,
-                                              max_size=mx,
-                                              key=FIXED_KEY if keyed else None))
-                got[f"{algo}|{profile}|{name}"] = kernels.fingerprint(r, data)
-    if not path.exists():
-        path.write_text(json.dumps(got, indent=1, sort_keys=True))
-        pytest.skip("wrote substitute goldens (first run)")
-    want = json.loads(path.read_text())
-    assert got == want
+def test_gorand_streams_match_reference_content_hashes():
+    # sha256 of the raw inputs as recorded by the reference goldens
+    tiny = GOLDEN["fastcdc-v1.0.0|2K-8K-64K|tiny-64"]["content"]
+    big = GOLDEN["fastcdc-v1.0.0|2K-8K-64K|random-3x-maxmax"]["content"]
+    assert hashlib.sha256(golden_input("tiny-64")).hexdigest() == tiny
+    assert hashlib.sha256(golden_input("random-3x-maxmax")).hexdigest() == big
+
+
+def test_gorand_read_is_prefix_stable():
+    # Read(64) must be a prefix of Read(1024) (same fresh Source(0) stream),
+    # mirroring the harness's fresh rand.New per input.
+    assert gorand.read_bytes(1024)[:64] == gorand.read_bytes(64)
