@@ -4,10 +4,14 @@ Two families:
 
 1. CDC queries (prefix cdc_): run the byte-exact chunking kernels over the
    deterministic synthetic clips table (sources/clips.py; the BASELINE.json
-   input shape). No ANSI-SQL oracle exists for content-defined cutpoints --
-   their correctness gate is the golden-fingerprint suite
-   (tests/test_golden.py, byte-for-byte vs the reference) -- so the driver
-   records the weaker rows-only check for these.
+   input shape). No ANSI-SQL oracle exists for the cutpoint *scan* itself
+   (its correctness gate is the golden-fingerprint suite,
+   tests/test_golden.py, byte-for-byte vs the reference), but the
+   relational half of every CDC query IS oracle-checkable: each query
+   materializes its chunks relation to a deterministic parquet path
+   (_materialize) and the DuckDB oracle recomputes the aggregation FROM
+   that file. The driver's hard signal therefore covers the full
+   measure/distribution/compare/resync/sweep/histogram/CDF family.
 
 2. Oracle-checked queries over the driver-provided parquet tables
    (documents/embeddings/lineitem/...): every relational operator class the
@@ -25,12 +29,36 @@ Numeric parity conventions (driver hashes values):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .cdc.opts import ChunkerOpts
 from .operators import chunking, stats
 from .sources import clips as clips_src
+
+# ---------------------------------------------------------------------------
+# Oracle materialization: a query computes its non-SQL-expressible relation
+# (chunks / sketches / frame features), writes it to a deterministic parquet
+# path, and continues from the read-back DataFrame; the DuckDB oracle
+# recomputes the relational half FROM the same file. Paths are embedded in
+# the oracle SQL at import time (the driver runs query then oracle in one
+# process).
+# ---------------------------------------------------------------------------
+
+_MAT_ROOT = os.environ.get("SPARK_GRAFT_MAT_DIR", "/root/repo/.oracle_mat")
+
+
+def _materialize(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    path = f"{_MAT_ROOT}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _mat(name: str) -> str:
+    """read_parquet() glob for the oracle SQL."""
+    return f"read_parquet('{_MAT_ROOT}/{name}/*.parquet')"
 
 # ---------------------------------------------------------------------------
 # Synthetic clips (deterministic; cached per session via a temp view)
@@ -79,64 +107,315 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CDC queries (rows-only; cutpoint oracle == golden pytest suite)
+# CDC queries: kernel computes the chunks relation, _materialize snapshots
+# it, and both engines aggregate from the snapshot (cutpoint oracle for the
+# scan itself == golden pytest suite).
 # ---------------------------------------------------------------------------
 
+_MEASURE_SQL_BODY = """
+tot AS (SELECT {keys}, count(*)::BIGINT AS n_chunks,
+               sum(length)::BIGINT AS total_bytes FROM t GROUP BY {keys}),
+u AS (SELECT {keys}, chunk_hash, min(length) AS length FROM t GROUP BY {keys}, chunk_hash),
+uq AS (SELECT {keys}, count(*)::BIGINT AS unique_chunks,
+              sum(length)::BIGINT AS unique_bytes FROM u GROUP BY {keys})
+"""
+
+
 def cdc_measure_all_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2 over all algo families (cmd/cdc/stats.go:122-155)."""
     clips = load_clips(spark)
     out = None
     for algo in ("fastcdc-v1.0.0", "jc-v1.1.0", "ultracdc-v1.0.0", "fixed-v1.0.0"):
-        m = stats.measure(chunking.chunk_clips(clips, algo))
-        out = m if out is None else out.unionByName(m)
-    return out.orderBy("algo")
+        c = chunking.chunk_clips(clips, algo)
+        out = c if out is None else out.unionByName(c)
+    ch = _materialize(spark, out, "cdc_measure_all_algos")
+    return stats.measure(ch).orderBy("algo")
+
+
+CDC_MEASURE_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_measure_all_algos')}),
+{_MEASURE_SQL_BODY.format(keys='algo')}
+SELECT tot.algo, n_chunks, total_bytes, unique_chunks, unique_bytes,
+       CASE WHEN total_bytes = 0 THEN 0.0
+            ELSE unique_bytes / total_bytes END AS dedup_ratio
+FROM tot JOIN uq ON tot.algo = uq.algo
+"""
 
 
 def cdc_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 exact distribution (stats.go:91-116): index-based percentiles,
+    truncated integer avg, population stddev from exact integer sums (the
+    bit-deterministic formulation both engines share: one final division +
+    IEEE sqrt)."""
     clips = load_clips(spark)
     chunks = chunking.chunk_clips(clips, "fastcdc-v1.0.0",
                                   ChunkerOpts(min_size=256, normal_size=1024, max_size=8192))
-    return stats.distribution(chunks)
+    ch = _materialize(spark, chunks.select("algo", "length"), "cdc_distribution")
+    w = Window.partitionBy("algo").orderBy("length")
+    ranked = ch.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("algo"))
+    )
+    p50 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 50 / 100) + 1).groupBy(
+        "algo").agg(F.min("length").cast("long").alias("p50"))
+    p95 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 95 / 100) + 1).groupBy(
+        "algo").agg(F.min("length").cast("long").alias("p95"))
+    lg = F.col("length").cast("long")
+    base = (
+        ch.groupBy("algo")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.min("length").cast("long").alias("min_len"),
+            F.max("length").cast("long").alias("max_len"),
+            F.sum(lg).alias("_s"),
+            F.sum(lg * lg).alias("_ss"),
+        )
+        .withColumn("avg_len", F.expr("_s DIV n_chunks"))
+        .withColumn(
+            "stddev_len",
+            F.round(
+                F.sqrt(
+                    (F.col("_ss") * F.col("n_chunks") - F.col("_s") * F.col("_s"))
+                    / (F.col("n_chunks") * F.col("n_chunks"))
+                ),
+                6,
+            ),
+        )
+        .drop("_s", "_ss")
+    )
+    return base.join(p50, "algo").join(p95, "algo")
+
+
+CDC_DISTRIBUTION_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_distribution')}),
+ranked AS (
+  SELECT algo, length,
+         row_number() OVER (PARTITION BY algo ORDER BY length) AS rn,
+         count(*) OVER (PARTITION BY algo) AS n
+  FROM t
+),
+p50 AS (SELECT algo, min(length)::BIGINT AS p50 FROM ranked
+        WHERE rn = floor(n * 50 / 100) + 1 GROUP BY algo),
+p95 AS (SELECT algo, min(length)::BIGINT AS p95 FROM ranked
+        WHERE rn = floor(n * 95 / 100) + 1 GROUP BY algo),
+base AS (
+  SELECT algo, count(*)::BIGINT AS n_chunks,
+         min(length)::BIGINT AS min_len, max(length)::BIGINT AS max_len,
+         sum(length)::BIGINT AS s, sum(length::BIGINT * length)::BIGINT AS ss
+  FROM t GROUP BY algo
+)
+SELECT base.algo, n_chunks, min_len, max_len,
+       (s // n_chunks)::BIGINT AS avg_len,
+       round(sqrt((ss * n_chunks - s * s) / (n_chunks * n_chunks)), 6) AS stddev_len,
+       p50, p95
+FROM base JOIN p50 USING (algo) JOIN p95 USING (algo)
+"""
 
 
 def cdc_compare_regression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 A/B gate (cmd/cdc/compare.go:24-59)."""
     clips = load_clips(spark)
-    base = stats.measure(chunking.chunk_clips(clips, "fastcdc-v1.0.0"))
-    cand = stats.measure(chunking.chunk_clips(clips, "jc-v1.1.0"))
-    return stats.compare(base, cand)
+    both = chunking.chunk_clips(clips, "fastcdc-v1.0.0").unionByName(
+        chunking.chunk_clips(clips, "jc-v1.1.0")
+    )
+    ch = _materialize(spark, both, "cdc_compare")
+    m = stats.measure(ch)
+    return stats.compare(
+        m.filter(F.col("algo") == "fastcdc-v1.0.0"),
+        m.filter(F.col("algo") == "jc-v1.1.0"),
+    )
+
+
+CDC_COMPARE_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_compare')}),
+{_MEASURE_SQL_BODY.format(keys='algo')},
+m AS (SELECT tot.algo, n_chunks,
+             CASE WHEN total_bytes = 0 THEN 0.0
+                  ELSE unique_bytes / total_bytes END AS dedup_ratio
+      FROM tot JOIN uq ON tot.algo = uq.algo)
+SELECT b.algo AS baseline_algo, b.dedup_ratio AS baseline_ratio,
+       b.n_chunks AS baseline_chunks,
+       c.algo AS candidate_algo, c.dedup_ratio AS candidate_ratio,
+       c.n_chunks AS candidate_chunks,
+       c.dedup_ratio - b.dedup_ratio AS ratio_delta,
+       (c.dedup_ratio - b.dedup_ratio) > 0.02 AS regressed
+FROM m b CROSS JOIN m c
+WHERE b.algo = 'fastcdc-v1.0.0' AND c.algo = 'jc-v1.1.0'
+"""
 
 
 def cdc_resync_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-robustness (Q6): near-dup clips' bytes covered by their bases'
-    chunk digests. Splits the synthetic table into base vs derived halves."""
+    """Edit-robustness (Q6, cmd/cdc/resync.go:82-102): near-dup clips' bytes
+    covered by their bases' chunk digests. Splits the synthetic table into
+    base vs derived halves."""
     clips = load_clips(spark)
     opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
     base = clips.filter(F.col("clip_id") < "clip-00000120")
     edited = clips.filter(F.col("clip_id") >= "clip-00000120")
-    oc = chunking.chunk_clips(base, "fastcdc-v1.0.0", opts)
-    ec = chunking.chunk_clips(edited, "fastcdc-v1.0.0", opts)
-    return stats.resync_shared(oc, ec)
+    both = (
+        chunking.chunk_clips(base, "fastcdc-v1.0.0", opts)
+        .withColumn("corpus", F.lit("orig"))
+        .unionByName(
+            chunking.chunk_clips(edited, "fastcdc-v1.0.0", opts)
+            .withColumn("corpus", F.lit("edited"))
+        )
+    )
+    ch = _materialize(spark, both, "cdc_resync")
+    return stats.resync_shared(
+        ch.filter(F.col("corpus") == "orig"), ch.filter(F.col("corpus") == "edited")
+    )
+
+
+CDC_RESYNC_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_resync')}),
+e AS (SELECT * FROM t WHERE corpus = 'edited'),
+c AS (SELECT coalesce(sum(length), 0)::BIGINT AS shared_bytes FROM e
+      WHERE chunk_hash IN (SELECT DISTINCT chunk_hash FROM t WHERE corpus = 'orig')),
+tt AS (SELECT sum(length)::BIGINT AS total_bytes FROM e)
+SELECT shared_bytes, total_bytes,
+       CASE WHEN total_bytes = 0 THEN 0.0
+            ELSE shared_bytes / total_bytes END AS shared_pct
+FROM c CROSS JOIN tt
+"""
 
 
 def cdc_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (cmd/cdcplot/main.go:313-339): dedup ratio at avg sizes 1K/4K."""
+    from .cdc.opts import ChunkerOpts as _O
+
     clips = load_clips(spark)
-    return stats.dedup_sweep(clips, "fastcdc-v1.0.0", [1024, 4096],
-                             chunking.chunk_clips).orderBy("avg_size")
+    out = None
+    for avg in (1024, 4096):
+        c = chunking.chunk_clips(
+            clips, "fastcdc-v1.0.0",
+            _O(min_size=avg // 4, normal_size=avg, max_size=avg * 8),
+        ).withColumn("avg_size", F.lit(avg).cast("long"))
+        out = c if out is None else out.unionByName(c)
+    ch = _materialize(spark, out, "cdc_dedup_sweep")
+    res = None
+    for avg in (1024, 4096):
+        m = stats.measure(ch.filter(F.col("avg_size") == avg)).withColumn(
+            "avg_size", F.lit(avg).cast("long")
+        )
+        res = m if res is None else res.unionByName(m)
+    return res.orderBy("avg_size")
+
+
+CDC_SWEEP_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_dedup_sweep')}),
+{_MEASURE_SQL_BODY.format(keys='algo, avg_size')}
+SELECT tot.algo, n_chunks, total_bytes, unique_chunks, unique_bytes,
+       CASE WHEN total_bytes = 0 THEN 0.0
+            ELSE unique_bytes / total_bytes END AS dedup_ratio,
+       tot.avg_size::BIGINT AS avg_size
+FROM tot JOIN uq ON tot.algo = uq.algo AND tot.avg_size = uq.avg_size
+"""
 
 
 def cdc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 histogram (cmd/cdcplot/main.go:341-365)."""
     clips = load_clips(spark)
     chunks = chunking.chunk_clips(clips, "ultracdc-v1.0.0",
                                   ChunkerOpts(min_size=256, normal_size=1024, max_size=8192))
-    return stats.length_histogram(chunks, n_bins=20)
+    ch = _materialize(spark, chunks.select("algo", "length"), "cdc_length_histogram")
+    return stats.length_histogram(ch, n_bins=20)
+
+
+CDC_HISTOGRAM_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_length_histogram')}),
+b AS (SELECT algo, min(length) AS lo, max(length) AS hi FROM t GROUP BY algo),
+j AS (SELECT t.algo, t.length, b.lo,
+             greatest((b.hi - b.lo) / 20, 1.0) AS w
+      FROM t JOIN b ON t.algo = b.algo)
+SELECT algo, least(floor((length - lo) / w), 19)::INT AS bin,
+       count(*)::BIGINT AS n
+FROM j GROUP BY 1, 2 ORDER BY algo, bin
+"""
+
+
+def cdc_length_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 CDF (cmd/cdcplot/main.go:262-285): cumulative fraction of chunks
+    at each distinct length, as exact count ratios."""
+    clips = load_clips(spark)
+    chunks = chunking.chunk_clips(clips, "fastcdc-v1.0.0",
+                                  ChunkerOpts(min_size=256, normal_size=1024, max_size=8192))
+    ch = _materialize(spark, chunks.select("algo", "length"), "cdc_length_cdf")
+    g = ch.groupBy("algo", "length").agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy("algo").orderBy("length")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("algo")
+    return g.select(
+        "algo",
+        F.col("length").cast("long").alias("length"),
+        (F.sum("_c").over(wcum) / F.sum("_c").over(wtot)).alias("cdf"),
+    ).orderBy("algo", "length")
+
+
+CDC_CDF_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_length_cdf')}),
+g AS (SELECT algo, length, count(*) AS c FROM t GROUP BY 1, 2)
+SELECT algo, length::BIGINT AS length,
+       sum(c) OVER (PARTITION BY algo ORDER BY length ROWS UNBOUNDED PRECEDING)
+       / sum(c) OVER (PARTITION BY algo) AS cdf
+FROM g ORDER BY algo, length
+"""
 
 
 def cdc_transcript_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-side chunking (transcripts through the same kernels)."""
+    """Text-side chunking (transcripts through the same kernels), with a
+    per-clip profile digest. The driver-checked `profile_sha` is sha256 over
+    the ASCII hex of the LE-uint64 length sequence (injective in the ordered
+    lengths, ANSI-SQL-computable -- DuckDB's sha256 only takes VARCHAR); the
+    reference's raw-byte cuts_hash lives in chunking.fingerprint_by_clip and
+    is pinned against the kernel fingerprint in pytest."""
     clips = load_clips(spark)
     chunks = chunking.chunk_transcripts(
         clips, "fastcdc-v1.0.0", ChunkerOpts(min_size=64, normal_size=128, max_size=512)
     )
-    return chunking.fingerprint_by_clip(chunks).orderBy("clip_id")
+    ch = _materialize(spark, chunks, "cdc_transcript_chunks")
+    h = F.lpad(F.hex(F.col("length").cast("bigint")), 16, "0")
+    le_hex = F.lower(
+        F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7, 5, 3, 1)])
+    )
+    return (
+        ch.withColumn("_le", le_hex)
+        .groupBy("clip_id", "algo")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("length").cast("long").alias("min_len"),
+            F.max("length").cast("long").alias("max_len"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("chunk_idx"), F.col("_le")))
+                        ),
+                        lambda x: x["_le"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("profile_sha"),
+        )
+        .orderBy("clip_id")
+    )
+
+
+CDC_TRANSCRIPT_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_transcript_chunks')}),
+le AS (
+  SELECT clip_id, algo, chunk_idx, length,
+         lower(substr(h,15,2)||substr(h,13,2)||substr(h,11,2)||substr(h,9,2)||
+               substr(h,7,2)||substr(h,5,2)||substr(h,3,2)||substr(h,1,2)) AS le_hex
+  FROM (SELECT *, lpad(hex(length::BIGINT), 16, '0') AS h FROM t)
+)
+SELECT clip_id, algo, count(*)::BIGINT AS n_chunks, sum(length)::BIGINT AS total_bytes,
+       min(length)::BIGINT AS min_len, max(length)::BIGINT AS max_len,
+       sha256(string_agg(le_hex, '' ORDER BY chunk_idx)) AS profile_sha
+FROM le GROUP BY 1, 2 ORDER BY clip_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -645,35 +924,123 @@ SELECT nationkey::BIGINT, 'customer_only' FROM
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: hyperplane-LSH bucketed candidates, integer-exact
-    scoring (rows-only; recall vs brute force asserted in tests)."""
-    from .operators.similarity import lsh_bucketed_topk
+    """Scale-path ANN: 64-bit hyperplane sketch, 8x8-bit banded buckets,
+    integer-exact scoring. The sketch pieces (the only non-SQL step;
+    xxhash64 hyperplanes) are materialized so the oracle recomputes
+    candidate generation + scoring + top-k relationally. bucket_cap is not
+    hit at oracle scale (500 vectors << 1024); the cap path is pinned by
+    tests/test_operators_unit.py."""
+    from .operators import similarity
 
     emb = _table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    pieces = similarity.sketch_pieces(emb)
+    pc = _materialize(spark, pieces, "ann_lsh_pieces")
+    cand = similarity.candidates_from_pieces(pc, emb.filter(F.col("vec_id") < 20))
+    return similarity.topk_from_candidates(emb, cand, k=5)
+
+
+_ANN_SCORE_SQL = """
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+         x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dot_s,
+    CAST(list_sum(list_transform(q.embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS na,
+    CAST(list_sum(list_transform(n.embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS nb
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) DESC,
+                                     neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       cosine, rk::INT AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+ANN_LSH_SQL = f"""
+WITH p AS (SELECT * FROM {_mat('ann_lsh_pieces')}),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, cp.vec_id AS neighbor_id
+  FROM p qp JOIN p cp ON qp.band_id = cp.band_id AND qp.piece = cp.piece
+  WHERE qp.vec_id < 20 AND qp.vec_id <> cp.vec_id
+),
+{_ANN_SCORE_SQL}
+"""
 
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates over documents (rows-only; the simhash
-    value itself is pinned by unit tests)."""
-    from .operators.dedup_text import simhash_pairs
+    """SimHash near-dup pairs over documents: 4x16-bit piece banding, then
+    hamming <= 16. The simhash pieces (the only non-SQL step; xxhash64 token
+    hashing) are materialized; the oracle recomputes the banded join +
+    hamming filter. pair_cap is effectively off here so the oracle is the
+    exact pairwise method (no bucket at oracle scale approaches the
+    production cap of 256 anyway); the star-capped hot-bucket path is pinned
+    by tests/test_operators_unit.py."""
+    from .operators.dedup_text import simhash_pairs_from_pieces, simhash_pieces
 
-    return simhash_pairs(_table(spark, sf_dir, "documents"), max_hamming=16,
-                         text_col="text", id_col="doc_id")
+    docs = _table(spark, sf_dir, "documents")
+    pieces = simhash_pieces(docs, text_col="text", id_col="doc_id")
+    pc = _materialize(spark, pieces, "doc_simhash_pieces")
+    out = simhash_pairs_from_pieces(pc, max_hamming=16, pair_cap=1_000_000)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+DOC_SIMHASH_SQL = f"""
+WITH p AS (SELECT * FROM {_mat('doc_simhash_pieces')}),
+d AS (SELECT DISTINCT clip_id, simhash FROM p),
+cand AS (
+  SELECT DISTINCT x.clip_id AS a, y.clip_id AS b
+  FROM p x JOIN p y ON x.piece_id = y.piece_id AND x.piece = y.piece
+  WHERE x.clip_id < y.clip_id
+)
+SELECT cand.a::BIGINT AS a, cand.b::BIGINT AS b,
+       bit_count(xor(da.simhash, db.simhash))::INT AS hamming
+FROM cand JOIN d da ON da.clip_id = cand.a JOIN d db ON db.clip_id = cand.b
+WHERE bit_count(xor(da.simhash, db.simhash)) <= 16
+"""
 
 
 def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio: per-frame energy/ZCR over the synthetic clips
-    (rows-only; values pinned by unit tests against numpy)."""
+    """Multimodal audio: per-clip frame-feature aggregates. Per-frame
+    energy/zcr (numpy in mapInPandas, pinned by unit tests) are scaled to
+    integers (x1e9, the operator's own output rounding) and materialized;
+    both engines then aggregate with exact integer sums and one identical
+    division chain."""
     from .operators.multimodal import audio_frame_features
 
     clips = load_clips(spark)
     feat = audio_frame_features(clips)
-    return feat.groupBy("clip_id").agg(
-        F.count("*").cast("long").alias("n_frames"),
-        F.round(F.avg("energy"), 6).alias("avg_energy"),
-        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+    ints = feat.select(
+        "clip_id",
+        F.round(F.col("energy") * 1e9).cast("long").alias("e9"),
+        F.round(F.col("zcr") * 1e9).cast("long").alias("z9"),
     )
+    fr = _materialize(spark, ints, "audio_frame_energy")
+    return fr.groupBy("clip_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.round(F.sum("e9") / F.count("*") / 1e9, 6).alias("avg_energy"),
+        F.round(F.sum("z9") / F.count("*") / 1e9, 6).alias("avg_zcr"),
+    )
+
+
+AUDIO_FRAME_SQL = f"""
+SELECT clip_id, count(*)::BIGINT AS n_frames,
+       round(sum(e9)::BIGINT / count(*) / 1e9, 6) AS avg_energy,
+       round(sum(z9)::BIGINT / count(*) / 1e9, 6) AS avg_zcr
+FROM {_mat('audio_frame_energy')} GROUP BY clip_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -681,15 +1048,17 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    # CDC core (rows-only; golden pytest suite is the cutpoint oracle)
+    # CDC core (cutpoint scan pinned by the golden pytest suite; the
+    # relational half oracle-checked via materialized chunk relations)
     "cdc_measure_all_algos": cdc_measure_all_algos,
     "cdc_distribution": cdc_distribution,
     "cdc_compare_regression_gate": cdc_compare_regression_gate,
     "cdc_resync_shared": cdc_resync_shared,
     "cdc_dedup_sweep": cdc_dedup_sweep,
     "cdc_length_histogram": cdc_length_histogram,
+    "cdc_length_cdf": cdc_length_cdf,
     "cdc_transcript_chunks": cdc_transcript_chunks,
-    # training-data ops, rows-only (unit-tested separately)
+    # training-data ops (sketch/pieces materialized, method oracle-checked)
     "ann_lsh_topk": ann_lsh_topk,
     "doc_simhash_pairs": doc_simhash_pairs,
     "audio_frame_energy": audio_frame_energy,
@@ -710,6 +1079,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_measure_all_algos": CDC_MEASURE_SQL,
+    "cdc_distribution": CDC_DISTRIBUTION_SQL,
+    "cdc_compare_regression_gate": CDC_COMPARE_SQL,
+    "cdc_resync_shared": CDC_RESYNC_SQL,
+    "cdc_dedup_sweep": CDC_SWEEP_SQL,
+    "cdc_length_histogram": CDC_HISTOGRAM_SQL,
+    "cdc_length_cdf": CDC_CDF_SQL,
+    "cdc_transcript_chunks": CDC_TRANSCRIPT_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "doc_simhash_pairs": DOC_SIMHASH_SQL,
+    "audio_frame_energy": AUDIO_FRAME_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,

@@ -136,11 +136,35 @@ def chunk_transcripts(
 
 
 def fingerprint_by_clip(chunks: DataFrame) -> DataFrame:
-    """Per-clip fingerprint relation: chunk count + total bytes; the strict
-    cuts-hash equivalent is checked kernel-side in tests (golden oracle)."""
-    return chunks.groupBy("clip_id", "algo").agg(
-        F.count("*").cast("long").alias("n_chunks"),
-        F.sum("length").cast("long").alias("total_bytes"),
-        F.min("length").cast("long").alias("min_len"),
-        F.max("length").cast("long").alias("max_len"),
+    """Per-clip fingerprint relation with the reference's profile cuts-hash
+    (internal/testutil/testutil.go:30-111; tests/golden_test.go:52-92):
+    cuts_hash = sha256 of the chunk lengths as little-endian uint64s in
+    chunk order, computed entirely JVM-side (hex -> byte-swap -> unhex ->
+    ordered concat -> sha2). Matches cdc/kernels.fingerprint()'s cuts_hash
+    bit-for-bit (pinned in tests/test_spark_chunking.py)."""
+    h = F.lpad(F.hex(F.col("length").cast("bigint")), 16, "0")
+    le_hex = F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7, 5, 3, 1)])
+    return (
+        chunks.withColumn("_le", le_hex)
+        .groupBy("clip_id", "algo")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("length").cast("long").alias("min_len"),
+            F.max("length").cast("long").alias("max_len"),
+            F.sha2(
+                F.unhex(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(F.col("chunk_idx"), F.col("_le")))
+                            ),
+                            lambda x: x["_le"],
+                        ),
+                        "",
+                    )
+                ),
+                256,
+            ).alias("cuts_hash"),
+        )
     )

@@ -160,17 +160,15 @@ def md5_lsh_pairs(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup candidates: all pairs within max_hamming bits.
-    Candidate generation at scale would band the simhash into 4x16-bit
-    chunks (pigeonhole: ham <= 12 -> some 16-bit chunk equal when <= 3
-    chunks differ); implemented that way here too so the plan is the
-    scale plan."""
+def simhash_pieces(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(clip_id, simhash, piece_id, piece): the 4x16-bit banded SimHash
+    bucket keys (pigeonhole: ham <= 12 -> some 16-bit piece equal when <= 3
+    pieces differ)."""
     from .signatures import simhash64
 
     sim = simhash64(docs, text_col=text_col, id_col=id_col)
-    chunks = sim.select(
+    return sim.select(
         "clip_id",
         "simhash",
         F.explode(
@@ -186,13 +184,61 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
                 ]
             )
         ).alias("_p"),
-    ).select("clip_id", "simhash", F.col("_p.piece_id").alias("piece_id"), F.col("_p.piece").alias("piece"))
-    la = chunks.select("piece_id", "piece", F.col("clip_id").alias("a"), F.col("simhash").alias("sa"))
-    lb = chunks.select("piece_id", "piece", F.col("clip_id").alias("b"), F.col("simhash").alias("sb"))
-    return (
+    ).select("clip_id", "simhash",
+             F.col("_p.piece_id").alias("piece_id"), F.col("_p.piece").alias("piece"))
+
+
+def simhash_pairs_from_pieces(pieces: DataFrame, max_hamming: int = 12,
+                              pair_cap: int = 256) -> DataFrame:
+    """(a, b, hamming) pairs sharing >= 1 simhash piece, hot buckets capped.
+
+    Buckets of size <= pair_cap join pairwise (exact). Larger buckets emit a
+    *star* around the minimum member instead -- linear, not quadratic. At
+    corpus scale a 16-bit piece holds ~N/65536 docs plus pathological
+    boilerplate skew; the star preserves connectivity for the dominant hot
+    case (identical/near-identical simhashes, where every hub edge passes
+    the hamming filter) while bounding work. Pairwise edges between
+    non-hub members of a hot bucket that pass the filter only via a
+    *different* piece are still found through that piece's bucket."""
+    sized = pieces.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("piece_id", "piece"))
+    )
+    small = sized.filter(F.col("_n") <= pair_cap).drop("_n")
+    big = sized.filter(F.col("_n") > pair_cap).drop("_n")
+
+    la = small.select("piece_id", "piece", F.col("clip_id").alias("a"),
+                      F.col("simhash").alias("sa"))
+    lb = small.select("piece_id", "piece", F.col("clip_id").alias("b"),
+                      F.col("simhash").alias("sb"))
+    pairs_small = (
         la.join(lb, ["piece_id", "piece"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+    )
+
+    hub = big.groupBy("piece_id", "piece").agg(
+        F.min("clip_id").alias("a"), F.min_by("simhash", "clip_id").alias("sa")
+    )
+    pairs_big = (
+        big.join(hub, ["piece_id", "piece"])
+        .filter(F.col("clip_id") != F.col("a"))
+        .select("a", F.col("clip_id").alias("b"), "sa", F.col("simhash").alias("sb"))
+    )
+
+    return (
+        pairs_small.unionByName(pairs_big)
         .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  pair_cap: int = 256) -> DataFrame:
+    """SimHash near-dup candidates: pairs within max_hamming bits, banded
+    into 4x16-bit pieces (the scale plan), hot piece-buckets star-capped."""
+    return simhash_pairs_from_pieces(
+        simhash_pieces(docs, text_col=text_col, id_col=id_col),
+        max_hamming=max_hamming, pair_cap=pair_cap,
     )

@@ -89,14 +89,19 @@ def brute_force_topk(
 
 def hyperplane_sketch(
     embeddings: DataFrame,
-    n_bits: int = 16,
+    n_bits: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
     """Random-hyperplane LSH: bit_i = sign(<v, r_i>) with pseudo-random
     hyperplanes derived from xxhash64(seed, i, dim) -- reproducible without
-    shipping a matrix, JVM-only. Returns (vec_id, sketch long)."""
+    shipping a matrix, JVM-only. Returns (vec_id, sketch long).
+
+    Default widened to 64 bits (8x8-bit bands downstream): the old 16-bit /
+    4-band geometry gave only 16 buckets per band -> ~N^2/16 candidates at
+    corpus scale. Bits are OR-ed via shiftleft so bit 63 (the sign bit of
+    the long) is well-defined."""
     dims = F.size(F.col(vec_col))
     # r_i[d] in {-1, +1} from the parity of xxhash64(seed, i, d)
     def bit(i: int):
@@ -112,56 +117,88 @@ def hyperplane_sketch(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.when(dot > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        return F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
 
     sk = bit(0)
     for i in range(1, n_bits):
-        sk = sk + bit(i)
+        sk = sk.bitwiseOR(bit(i))
     return embeddings.select(F.col(id_col).alias("vec_id"), sk.alias("sketch"))
 
 
-def lsh_bucketed_topk(
+def sketch_pieces(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_bits: int = 16,
-    bands: int = 4,
+    n_bits: int = 64,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
-    """Scale path: score only candidates sharing >= 1 sketch band with the
-    query (banded multi-probe). Same integer-exact scorer as brute force."""
+    """(vec_id, band_id, piece): the banded LSH bucket keys. 8-bit pieces by
+    default -> 256 buckets per band; candidates stay sub-quadratic."""
     r = n_bits // bands
-    sk_all = hyperplane_sketch(embeddings, n_bits, id_col, vec_col)
-
-    def bands_of(df, out_id):
-        return df.select(
-            F.col("vec_id").alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.shiftrightunsigned(F.col("sketch"), b * r)
-                            .bitwiseAND(F.lit((1 << r) - 1))
-                            .alias("piece"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_p"),
-        ).select(out_id, F.col("_p.band_id").alias("band_id"), F.col("_p.piece").alias("piece"))
-
-    qb = bands_of(
-        sk_all.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id"), "query_id"
+    sk = hyperplane_sketch(embeddings, n_bits, id_col, vec_col, seed)
+    return sk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sketch"), b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("piece"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "vec_id", F.col("_p.band_id").alias("band_id"), F.col("_p.piece").alias("piece")
     )
-    cb = bands_of(sk_all, "neighbor_id")
-    cand = (
+
+
+def candidates_from_pieces(
+    pieces: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """(query_id, neighbor_id) distinct pairs sharing >= 1 (band, piece)
+    bucket. Corpus-side buckets larger than bucket_cap are truncated to a
+    deterministic pseudo-random cap (ordered by xxhash64 of the member id)
+    so a boilerplate-heavy bucket can never go quadratic; the query side is
+    never truncated."""
+    cb = pieces.select("band_id", "piece", F.col("vec_id").alias("neighbor_id"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "piece").orderBy(
+            F.xxhash64(F.col("neighbor_id"), F.lit(11)), F.col("neighbor_id")
+        )
+        cb = (
+            cb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    qb = pieces.join(
+        queries.select(F.col(id_col).alias("vec_id")), "vec_id"
+    ).select("band_id", "piece", F.col("vec_id").alias("query_id"))
+    return (
         qb.join(cb, ["band_id", "piece"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def topk_from_candidates(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact cosine scoring + per-query top-k over a candidate set."""
     qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
@@ -181,3 +218,21 @@ def lsh_bucketed_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """Scale path: score only candidates sharing >= 1 sketch band with the
+    query (banded multi-probe), hot buckets capped. Same integer-exact
+    scorer as brute force."""
+    pieces = sketch_pieces(embeddings, n_bits, bands, id_col, vec_col)
+    cand = candidates_from_pieces(pieces, queries, id_col, bucket_cap)
+    return topk_from_candidates(embeddings, cand, k, id_col, vec_col)

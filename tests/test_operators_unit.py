@@ -196,3 +196,110 @@ def test_image_features_stub_and_fake(spark):
     assert rows[0].width > 0 and rows[0].height > 0
     with pytest.raises(Exception):
         image_features(df, deterministic_fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# connected components at scale: O(log n) rounds, never silently wrong
+# ---------------------------------------------------------------------------
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    """A 1000-hop chain: plain hash-min needs ~1000 rounds; with pointer
+    doubling the combination must finish in O(log n) -- assert <= 15."""
+    n = 1000
+    verts = spark.createDataFrame([(f"v{i:04d}",) for i in range(n)], "clip_id string")
+    edges = spark.createDataFrame(
+        [(f"v{i:04d}", f"v{i+1:04d}") for i in range(n - 1)], "a string, b string"
+    )
+    labels, rounds = components.connected_components(
+        verts, edges, max_iter=50, return_rounds=True
+    )
+    got = {r.clip_id: r.component_id for r in labels.collect()}
+    assert set(got.values()) == {"v0000"}
+    assert rounds <= 15, rounds
+
+
+def test_cc_raises_instead_of_returning_wrong_labels(spark):
+    verts = spark.createDataFrame([(f"v{i:03d}",) for i in range(40)], "clip_id string")
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i+1:03d}") for i in range(39)], "a string, b string"
+    )
+    with pytest.raises(components.ConvergenceError):
+        components.connected_components(verts, edges, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# ANN: default 64-bit/8-band geometry is sub-quadratic AND keeps recall
+# ---------------------------------------------------------------------------
+
+def test_lsh_default_geometry_candidates_and_recall(spark):
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 24)) * 3
+    vecs = np.vstack(
+        [c + rng.standard_normal((20, 24)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    n = len(vecs)  # 200
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    pieces = similarity.sketch_pieces(df)  # defaults: 64 bits, 8x8-bit bands
+    cand = similarity.candidates_from_pieces(pieces, q)
+    n_cand = cand.count()
+    # sub-quadratic: avg candidates per query well below the corpus size
+    assert n_cand / 10 < 0.6 * n, n_cand
+    lsh = similarity.topk_from_candidates(df, cand, k=3).collect()
+    bf = similarity.brute_force_topk(df, q, k=3).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    lsh_set = {(r.query_id, r.neighbor_id) for r in lsh}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """60 identical vectors land in one bucket per band; bucket_cap=8 must
+    bound candidates per query by ~cap (same deterministic 8 in every band),
+    not 59."""
+    vec = [float(x) for x in np.linspace(0.1, 1.0, 16)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    pieces = similarity.sketch_pieces(df)
+    capped = similarity.candidates_from_pieces(pieces, q, bucket_cap=8)
+    per_q = capped.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] <= 8 for r in per_q), per_q
+    uncapped = similarity.candidates_from_pieces(pieces, q, bucket_cap=None)
+    assert uncapped.groupBy("query_id").count().collect()[0]["count"] == 59
+
+
+# ---------------------------------------------------------------------------
+# SimHash hot-bucket star cap: O(n) edges, identical components
+# ---------------------------------------------------------------------------
+
+def test_simhash_hot_bucket_star_cap(spark):
+    from go_cdc_chunkers_spark.operators import dedup_text
+
+    n_hot = 200
+    rows = [(i, "spam ham eggs " * 10) for i in range(n_hot)]
+    rows += [(1000 + j, f"utterly distinct document number {j} with words {j*7}")
+             for j in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = dedup_text.simhash_pieces(docs, text_col="text", id_col="doc_id")
+
+    capped = dedup_text.simhash_pairs_from_pieces(pieces, max_hamming=16, pair_cap=64)
+    hot_edges = capped.filter((F.col("a") < n_hot) & (F.col("b") < n_hot))
+    n_edges = hot_edges.count()
+    assert n_edges == n_hot - 1, n_edges  # star, not clique (19900)
+
+    # identical connectivity: all hot docs in one component either way
+    verts = docs.select(F.col("doc_id").cast("string").alias("clip_id"))
+    star_edges = capped.select(
+        F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+    )
+    comp = components.connected_components(verts, star_edges)
+    n_comps = (
+        comp.filter(F.col("clip_id").cast("long") < n_hot)
+        .select("component_id").distinct().count()
+    )
+    assert n_comps == 1

@@ -129,3 +129,17 @@ def test_empty_bytes_yields_no_chunk_rows(spark):
     assert ids == {"tiny"}
     tiny = [x for x in out if x.clip_id == "tiny"]
     assert len(tiny) == 1 and tiny[0].length == 1 and tiny[0].offset == 0
+
+
+def test_fingerprint_cuts_hash_matches_kernel(spark, clips_df):
+    """Q11 profile parity: the Spark-side cuts_hash (sha256 over LE-uint64
+    lengths in chunk order) must equal the kernel fingerprint's cuts_hash
+    (itself golden-pinned vs the reference, tests/golden_test.go:52-92)."""
+    df, rows = clips_df
+    r = resolve("fastcdc-v1.0.0", OPTS)
+    chunks = chunking.chunk_clips(df, "fastcdc-v1.0.0", OPTS)
+    got = {row.clip_id: row.cuts_hash
+           for row in chunking.fingerprint_by_clip(chunks).collect()}
+    for rec in rows:
+        want = kernels.fingerprint(r, bytes(rec["bytes"]))["cuts_hash"]
+        assert got[rec["clip_id"]] == want, rec["clip_id"]
