@@ -118,10 +118,15 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
     extras["n_clips"] = n_clips
     extras["corpus_mb"] = round(total_bytes / 1e6, 1)
 
-    dt, mbs, n_chunks = chunk_throughput(spark, corpus, total_bytes, replicate, cpus)
+    # Replicate the corpus to >= ~1 GB for the throughput workload: at 139 MB
+    # the timed job is scheduler-latency-bound (~1 s) and mb_per_sec reads
+    # 10x below the engine's real rate.
+    thr_repl = max(replicate, 8)
+    dt, mbs, n_chunks = chunk_throughput(spark, corpus, total_bytes, thr_repl, cpus)
     timings["cdc_chunk_throughput"] = round(dt, 3)
     extras["mb_per_sec"] = round(mbs, 2)
     extras["n_chunks"] = n_chunks
+    extras["throughput_replicate"] = thr_repl
 
     wd = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
@@ -181,6 +186,68 @@ def chunk_only_session(cpus: int, n_base: int, replicate: int):
                 "n_chunks": n_chunks}
     finally:
         spark.stop()
+
+
+def pipeline_session(cpus: int, n_base: int):
+    """One fresh-JVM pipeline run; returns clips/sec + per-stage seconds
+    (from the pipeline's own lineage rows)."""
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
+    from go_cdc_chunkers_spark.session import get_spark
+
+    corpus, n_clips, total_bytes = ensure_corpus(n_base)
+    spark = get_spark(app=f"pipe-{n_base}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    wd = tempfile.mkdtemp(prefix=f"bench_pipe_{n_base}_")
+    try:
+        clips = spark.read.parquet(corpus).repartition(cpus * 2).cache()
+        clips.count()
+        cfg = PipelineConfig(chunk_opts=ChunkerOpts(
+            min_size=256, normal_size=1024, max_size=8192))
+        pipe = Pipeline(spark, wd, cfg)
+        t = time.time()
+        pipe.run(clips).count()
+        dt = time.time() - t
+        stages = {}
+        with open(os.path.join(wd, "lineage.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                stages[row["stage"]] = round(row["finished"] - row["started"], 3)
+        return {
+            "cpus": cpus, "n_clips": n_clips,
+            "corpus_mb": round(total_bytes / 1e6, 1),
+            "sec": round(dt, 3), "clips_per_sec": round(n_clips / dt, 2),
+            "stage_sec": stages,
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+        spark.stop()
+
+
+def pipeline_scale_run(cpus: int, sizes=(600, 6000)):
+    """Fixed-overhead amortization evidence (VERDICT r1 item 9): the same
+    pipeline at ~10x corpus in fresh JVMs. Ideal scaling holds clips/sec
+    constant; efficiency = cps_large / cps_small. Stage latencies expose
+    where the fixed floor lives."""
+    import subprocess
+
+    points = []
+    for n_base in sizes:
+        r = subprocess.run(
+            [sys.executable, __file__, "--pipeline-one", str(cpus), str(n_base)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"pipeline-one {n_base} failed: {r.stderr[-800:]}")
+        points.append(json.loads(lines[-1]))
+    eff = round(points[-1]["clips_per_sec"] / points[0]["clips_per_sec"], 3)
+    return {
+        "metric": "pipeline_volume_scaling",
+        "value": eff,
+        "unit": "ratio",
+        "points": points,
+        "pipeline_volume_efficiency": eff,
+    }
 
 
 def scaling_run(sf_dir: str, n_base: int, replicate: int, rounds: int = 3):
@@ -244,6 +311,15 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--chunk-only":
         cpus, n_base, replicate = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
         print(json.dumps(chunk_only_session(cpus, n_base, replicate)))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-one":
+        print(json.dumps(pipeline_session(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-scale":
+        res = pipeline_scale_run(cpus)
+        print(json.dumps(res))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling":

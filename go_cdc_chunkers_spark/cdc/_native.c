@@ -1,0 +1,188 @@
+/* Scalar C chunking kernels, the fast path behind cdc/native.py.
+ *
+ * Semantics are a 1:1 port of cdc/naive.py (itself the transliterated
+ * semantic oracle of the reference algorithms:
+ *   fastcdc:  chunkers/fastcdc/fastcdc.go:225-253
+ *   jc:       chunkers/jc/jc.go:205-244
+ *   ultracdc: chunkers/ultracdc/ultracdc.go:101-240
+ *   stadia:   chunkers/fastcdc4stadia/fastcdc4stadia.go:77-149
+ * ), validated by the 126-case golden suite and the differential matrix vs
+ * both naive.py and the numpy kernels. All arithmetic is uint64 with C's
+ * natural mod-2^64 wraparound (Go semantics).
+ *
+ * Each split_* drives the whole stream (chunkers.go:160-232 loop: peek up
+ * to max_size, cut, advance), writing chunk lengths into `out` (caller
+ * allocates total/min_size + 2 slots) and returning the count.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+static inline int64_t imin64(int64_t a, int64_t b) { return a < b ? a : b; }
+
+/* ---------------- FastCDC ---------------- */
+
+static int64_t fastcdc_cut(const uint8_t *d, int64_t n, const uint64_t *g,
+                           uint64_t mask_s, uint64_t mask_l,
+                           int64_t min_size, int64_t normal_size,
+                           int64_t max_size) {
+    if (n <= min_size) return n;
+    if (n >= max_size) n = max_size;
+    else if (n <= normal_size) normal_size = n;
+    uint64_t fp = 0, mask = mask_s;
+    for (int64_t i = min_size; i < n; i++) {
+        if (i == normal_size) mask = mask_l;
+        fp = (fp << 1) + g[d[i]];
+        if ((fp & mask) == 0) return i;
+    }
+    return n;
+}
+
+int64_t split_fastcdc(const uint8_t *data, int64_t total, const uint64_t *g,
+                      uint64_t mask_s, uint64_t mask_l, int64_t min_size,
+                      int64_t normal_size, int64_t max_size, int64_t *out) {
+    int64_t cnt = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = imin64(total - pos, max_size);
+        int64_t cut = fastcdc_cut(data + pos, n, g, mask_s, mask_l, min_size,
+                                  normal_size, max_size);
+        out[cnt++] = cut;
+        pos += cut;
+    }
+    return cnt;
+}
+
+/* ---------------- JC ---------------- */
+
+static int64_t jc_cut(const uint8_t *d, int64_t n, const uint64_t *g,
+                      uint64_t mask_c, uint64_t mask_j, int64_t min_size,
+                      int64_t normal_size, int64_t max_size, int64_t jump,
+                      int spec) {
+    if (spec) {
+        if (n >= max_size) n = max_size;
+    } else if (n <= normal_size) {
+        return n;
+    } else if (n >= max_size) {
+        n = max_size;
+    }
+    uint64_t fp = 0;
+    int64_t i = min_size;
+    while (i < n) {
+        fp = (fp << 1) + g[d[i]];
+        if ((fp & mask_j) == 0) {
+            if ((fp & mask_c) == 0) return i;
+            fp = 0;
+            i += jump;
+        } else {
+            i++;
+        }
+    }
+    return imin64(i, n);
+}
+
+int64_t split_jc(const uint8_t *data, int64_t total, const uint64_t *g,
+                 uint64_t mask_c, uint64_t mask_j, int64_t min_size,
+                 int64_t normal_size, int64_t max_size, int64_t jump,
+                 int spec, int64_t *out) {
+    int64_t cnt = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = imin64(total - pos, max_size);
+        int64_t cut = jc_cut(data + pos, n, g, mask_c, mask_j, min_size,
+                             normal_size, max_size, jump, spec);
+        out[cnt++] = cut;
+        pos += cut;
+    }
+    return cnt;
+}
+
+/* ---------------- UltraCDC ---------------- */
+
+static int64_t ultra_cut(const uint8_t *d, int64_t n, const uint8_t *lut,
+                         int64_t min_size, int64_t normal_size,
+                         int64_t max_size, uint64_t mask_s, uint64_t mask_l,
+                         int64_t lest, int spec) {
+    uint64_t mask = mask_s;
+    if (n <= min_size) return n;
+    if (n >= max_size) n = max_size;
+    else if (n <= normal_size) normal_size = n;
+    if (n < min_size + 8) return n;
+
+    uint8_t out_win[8];
+    memcpy(out_win, d + min_size, 8);
+    int64_t dist = 0;
+    for (int j = 0; j < 8; j++) dist += lut[out_win[j]];
+    int64_t lec = 0;
+    int64_t i = min_size + 8;
+    while (i <= n - 8) {
+        if (i >= normal_size) mask = mask_l;
+        if (memcmp(d + i, out_win, 8) == 0) {
+            lec++;
+            if (lec >= lest) return i + 8;
+            i += 8;
+            continue;
+        }
+        lec = 0;
+        for (int j = 0; j < 8; j++) {
+            if (((uint64_t)dist & mask) == 0) return spec ? i + 8 : i + j;
+            dist += (int64_t)lut[d[i + j]] - (int64_t)lut[d[i + j - 8]];
+        }
+        memcpy(out_win, d + i, 8);
+        i += 8;
+    }
+    return n;
+}
+
+int64_t split_ultracdc(const uint8_t *data, int64_t total, const uint8_t *lut,
+                       int64_t min_size, int64_t normal_size, int64_t max_size,
+                       uint64_t mask_s, uint64_t mask_l, int64_t lest,
+                       int spec, int64_t *out) {
+    int64_t cnt = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = imin64(total - pos, max_size);
+        int64_t cut = ultra_cut(data + pos, n, lut, min_size, normal_size,
+                                max_size, mask_s, mask_l, lest, spec);
+        out[cnt++] = cut;
+        pos += cut;
+    }
+    return cnt;
+}
+
+/* ---------------- FastCDC4Stadia ---------------- */
+
+static int64_t stadia_cut(const uint8_t *d, int64_t n, const uint64_t *g64,
+                          int64_t min_size, int64_t normal_size,
+                          int64_t max_size) {
+    uint64_t thresh = UINT64_MAX / (uint64_t)(normal_size - min_size + 1);
+    if (n <= min_size) return n;
+    if (n >= max_size) n = max_size;
+    int64_t regression_len = n;
+    uint64_t regression_mask = 0;
+    uint64_t h = UINT64_MAX;
+    int64_t i = (min_size > 64) ? min_size - 64 : 0;
+    for (; i < min_size; i++) h = (h << 1) + g64[d[i]];
+    for (; i < n; i++) {
+        if ((h & regression_mask) == 0) {
+            if (h <= thresh) return i;
+            regression_len = i;
+            regression_mask = UINT64_MAX;
+            while (h & regression_mask) regression_mask <<= 1;
+        }
+        h = (h << 1) + g64[d[i]];
+    }
+    if (h & regression_mask) return regression_len;
+    return i;
+}
+
+int64_t split_stadia(const uint8_t *data, int64_t total, const uint64_t *g64,
+                     int64_t min_size, int64_t normal_size, int64_t max_size,
+                     int64_t *out) {
+    int64_t cnt = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = imin64(total - pos, max_size);
+        int64_t cut = stadia_cut(data + pos, n, g64, min_size, normal_size,
+                                 max_size);
+        out[cnt++] = cut;
+        pos += cut;
+    }
+    return cnt;
+}

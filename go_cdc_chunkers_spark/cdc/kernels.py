@@ -455,6 +455,21 @@ def split_lengths(algorithm_or_opts, data: bytes | np.ndarray, opts: ChunkerOpts
         r = resolve(algorithm_or_opts, opts)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
     fam = family(r.algorithm)
+    # Fast path: scalar C kernels (cdc/native.py; ~30x the numpy throughput).
+    # Falls through to the vectorized numpy kernels when no compiler exists
+    # or SPARK_GRAFT_NO_NATIVE is set; both are differentially tested.
+    from . import native
+
+    if native.available():
+        if fam == "fastcdc":
+            table = GEAR
+        elif fam in ("kfastcdc", "jc"):
+            table = get_gear_table(r.key)
+        else:
+            table = None
+        got = native.split_lengths_native(r, arr, table)
+        if got is not None:
+            return got
     if fam == "fastcdc":
         return _fastcdc_lengths(arr, r, GEAR)
     if fam == "kfastcdc":

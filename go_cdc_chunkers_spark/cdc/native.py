@@ -1,0 +1,150 @@
+"""ctypes loader for the scalar C chunking kernels (_native.c).
+
+The numpy kernels (kernels.py) are fully vectorized but still cost ~17
+vector ops per input byte (~50 MB/s/core on this machine); the same
+per-byte logic as straight-line C runs 20-40x faster. _native.c is a 1:1
+port of naive.py's reference semantics, compiled on first use with the
+system gcc into a content-addressed .so under /tmp (atomic rename, safe
+under concurrent Spark Python workers) and loaded with stdlib ctypes -- no
+third-party packages, no network.
+
+If no compiler is available (or SPARK_GRAFT_NO_NATIVE=1), available()
+returns False and kernels.py silently uses the numpy path; both paths are
+differentially tested against each other and against naive.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("_native.c")
+_LIB = None
+_TRIED = False
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build() -> ctypes.CDLL | None:
+    if os.environ.get("SPARK_GRAFT_NO_NATIVE"):
+        return None
+    try:
+        src = _SRC.read_bytes()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = Path(tempfile.gettempdir()) / "go_cdc_native"
+    so = cache_dir / f"cdc_{tag}.so"
+    if not so.exists():
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            tmp = cache_dir / f".cdc_{tag}.{os.getpid()}.so"
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, so)  # atomic: concurrent workers race safely
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+    lib.split_fastcdc.restype = ctypes.c_int64
+    lib.split_fastcdc.argtypes = [
+        _U8P, ctypes.c_int64, _U64P, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _I64P,
+    ]
+    lib.split_jc.restype = ctypes.c_int64
+    lib.split_jc.argtypes = [
+        _U8P, ctypes.c_int64, _U64P, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, _I64P,
+    ]
+    lib.split_ultracdc.restype = ctypes.c_int64
+    lib.split_ultracdc.argtypes = [
+        _U8P, ctypes.c_int64, _U8P, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int, _I64P,
+    ]
+    lib.split_stadia.restype = ctypes.c_int64
+    lib.split_stadia.argtypes = [
+        _U8P, ctypes.c_int64, _U64P, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _I64P,
+    ]
+    return lib
+
+
+def _lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _LIB = _build()
+        _TRIED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _as_u8(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.uint8)
+
+
+def split_lengths_native(r, arr: np.ndarray, gear_table: np.ndarray | None):
+    """Chunk lengths via the C kernels, or None when no native path applies
+    (no compiler / unsupported family). `r` is a ResolvedOpts; `gear_table`
+    is the uint64 Gear table for gear-hash families (None for ultracdc)."""
+    from .opts import ULTRACDC_LEST, ULTRACDC_MASK_L, ULTRACDC_MASK_S, family
+    from .tables import GEAR64, HAMMING_0xAA
+
+    lib = _lib()
+    if lib is None:
+        return None
+    fam = family(r.algorithm)
+    n = len(arr)
+    if n == 0:
+        return []
+    arr = _as_u8(arr)
+    out = np.empty(n // max(r.min_size, 1) + 2, dtype=np.int64)
+    data_p = arr.ctypes.data_as(_U8P)
+    out_p = out.ctypes.data_as(_I64P)
+
+    if fam in ("fastcdc", "kfastcdc"):
+        g = np.ascontiguousarray(gear_table, dtype=np.uint64)
+        cnt = lib.split_fastcdc(
+            data_p, n, g.ctypes.data_as(_U64P), r.mask_s, r.mask_l,
+            r.min_size, r.normal_size, r.max_size, out_p,
+        )
+    elif fam == "jc":
+        g = np.ascontiguousarray(gear_table, dtype=np.uint64)
+        cnt = lib.split_jc(
+            data_p, n, g.ctypes.data_as(_U64P), r.mask_c, r.mask_j,
+            r.min_size, r.normal_size, r.max_size, r.jump_length,
+            int(r.spec_faithful), out_p,
+        )
+    elif fam == "ultracdc":
+        lut = np.ascontiguousarray(HAMMING_0xAA, dtype=np.uint8)
+        cnt = lib.split_ultracdc(
+            data_p, n, lut.ctypes.data_as(_U8P), r.min_size, r.normal_size,
+            r.max_size, ULTRACDC_MASK_S, ULTRACDC_MASK_L, ULTRACDC_LEST,
+            int(r.spec_faithful), out_p,
+        )
+    elif fam == "stadia":
+        g = np.ascontiguousarray(GEAR64, dtype=np.uint64)
+        cnt = lib.split_stadia(
+            data_p, n, g.ctypes.data_as(_U64P), r.min_size, r.normal_size,
+            r.max_size, out_p,
+        )
+    else:
+        return None
+    return out[:cnt].tolist()

@@ -1,0 +1,68 @@
+"""Native (C/ctypes) kernels vs the vectorized numpy kernels.
+
+kernels.split_lengths dispatches to cdc/native.py when a compiler exists,
+so the rest of the suite exercises the native path; this file keeps the
+numpy path covered by comparing the two directly on the differential input
+matrix (both are independently validated against naive.py elsewhere).
+"""
+
+import numpy as np
+import pytest
+
+from go_cdc_chunkers_spark.cdc import kernels, native
+from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts, family, resolve
+from go_cdc_chunkers_spark.cdc.tables import GEAR, get_gear_table
+
+ALGOS = ["fastcdc", "fastcdc-v1.0.0", "kfastcdc", "jc", "jc-v1.0.0",
+         "jc-v1.1.0", "ultracdc", "ultracdc-v1.0.0", "fastcdc4stadia"]
+KEY = bytes((i * 7 + 3) & 0xFF for i in range(32))
+
+
+def _numpy_lengths(r, arr):
+    fam = family(r.algorithm)
+    if fam in ("fastcdc", "kfastcdc"):
+        return kernels._fastcdc_lengths(arr, r, GEAR if fam == "fastcdc"
+                                        else get_gear_table(r.key))
+    if fam == "jc":
+        return kernels._jc_lengths(arr, r, get_gear_table(r.key))
+    if fam == "ultracdc":
+        return kernels._ultracdc_lengths(arr, r)
+    return kernels._stadia_lengths(arr, r)
+
+
+def _table_for(r):
+    fam = family(r.algorithm)
+    if fam == "fastcdc":
+        return GEAR
+    if fam in ("kfastcdc", "jc"):
+        return get_gear_table(r.key)
+    return None
+
+
+@pytest.mark.skipif(not native.available(), reason="no C compiler in image")
+@pytest.mark.parametrize("algo", ALGOS)
+def test_native_matches_numpy(algo):
+    key = KEY if algo == "kfastcdc" else None
+    fillers = {
+        "random": np.random.default_rng(9).integers(0, 256, 600_000, dtype=np.uint8),
+        "zeros": np.zeros(300_000, dtype=np.uint8),
+        "block8": np.tile(np.arange(8, dtype=np.uint8), 40_000),
+        "seq": (np.arange(500_000) % 256).astype(np.uint8),
+    }
+    for mn, nm, mx in [(64, 128, 256), (2048, 8192, 65536), (2048 + 1, 8192, 65536)]:
+        r = resolve(algo, ChunkerOpts(min_size=mn, normal_size=nm, max_size=mx, key=key))
+        for name, arr in fillers.items():
+            got = native.split_lengths_native(r, arr, _table_for(r))
+            want = _numpy_lengths(r, arr)
+            assert got == want, (algo, (mn, nm, mx), name)
+
+
+@pytest.mark.skipif(not native.available(), reason="no C compiler in image")
+def test_native_edge_sizes():
+    r = resolve("fastcdc-v1.0.0", ChunkerOpts(min_size=64, normal_size=128, max_size=256))
+    for n in (0, 1, 63, 64, 65, 128, 255, 256, 257, 512):
+        arr = (np.arange(n) % 251).astype(np.uint8)
+        got = native.split_lengths_native(r, arr, GEAR)
+        want = kernels._fastcdc_lengths(arr, r, GEAR)
+        assert got == want, n
+        assert sum(got) == n
