@@ -124,9 +124,12 @@ uq AS (SELECT {keys}, count(*)::BIGINT AS unique_chunks,
 def cdc_measure_all_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1/Q2 over all algo families (cmd/cdc/stats.go:122-155)."""
     clips = load_clips(spark)
+    key = bytes((i * 7 + 3) & 0xFF for i in range(32))  # harness_test.go:50-56
     out = None
-    for algo in ("fastcdc-v1.0.0", "jc-v1.1.0", "ultracdc-v1.0.0", "fixed-v1.0.0"):
-        c = chunking.chunk_clips(clips, algo)
+    for algo in ("fastcdc-v1.0.0", "kfastcdc", "jc-v1.1.0",
+                 "ultracdc-v1.0.0", "fastcdc4stadia", "fixed-v1.0.0"):
+        opts = ChunkerOpts(key=key) if algo == "kfastcdc" else None
+        c = chunking.chunk_clips(clips, algo, opts)
         out = c if out is None else out.unionByName(c)
     ch = _materialize(spark, out, "cdc_measure_all_algos")
     return stats.measure(ch).orderBy("algo")
@@ -1043,6 +1046,91 @@ FROM {_mat('audio_frame_energy')} GROUP BY clip_id
 """
 
 
+def transcript_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 driver coverage: exact substring containment over transcript pairs
+    via the suffix-array mapInPandas pass (candidates.py:containment_pass).
+    The pair relation (with both texts) is materialized; the oracle
+    recomputes containment with contains() -- the suffix-array binary search
+    must agree with plain substring semantics (also pinned vs Python `in`
+    in tests/test_operators_unit.py)."""
+    from .operators.candidates import containment_pass
+
+    clips = load_clips(spark)
+    sub = clips.filter(F.col("clip_id") < "clip-00000040").select(
+        "clip_id", "transcript"
+    )
+    a = sub.select(F.col("clip_id").alias("a"), F.col("transcript").alias("ta"))
+    b = sub.select(F.col("clip_id").alias("b"), F.col("transcript").alias("tb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    pc = _materialize(spark, pairs, "transcript_containment")
+    return containment_pass(pc.select("a", "b"), clips)
+
+
+TRANSCRIPT_CONTAINMENT_SQL = f"""
+SELECT a, b, (contains(ta, tb) OR contains(tb, ta)) AS containment
+FROM {_mat('transcript_containment')}
+"""
+
+
+def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (shared
+    (band, piece)), integer-exact cosine, threshold 0.35 (the synthetic table's near-dup band: max pairwise cosine is ~0.51, p99.9 ~0.38). The 100 TB shape:
+    banded bucket join, never all-pairs; the sketch pieces are materialized
+    so the oracle recomputes candidates + scoring relationally."""
+    from .operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pieces = similarity.sketch_pieces(emb)
+    pc = _materialize(spark, pieces, "emb_dup_pieces")
+    la = pc.select("band_id", "piece", F.col("vec_id").alias("a"))
+    lb = pc.select("band_id", "piece", F.col("vec_id").alias("b"))
+    cand = (
+        la.join(lb, ["band_id", "piece"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", similarity.cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "cosine",
+        )
+    )
+
+
+EMB_COSINE_DUP_SQL = f"""
+WITH p AS (SELECT * FROM {_mat('emb_dup_pieces')}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM p x JOIN p y ON x.band_id = y.band_id AND x.piece = y.piece
+  WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+    CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+         x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dot_s,
+    CAST(list_sum(list_transform(q.embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS na,
+    CAST(list_sum(list_transform(n.embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS nb
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.a
+  JOIN embeddings n ON n.vec_id = c.b
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+FROM scored
+WHERE round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1076,6 +1164,8 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "events_sessionization": events_sessionization,
     "nation_setops": supplier_customer_nation_setops,
+    "transcript_containment": transcript_containment,
+    "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
 }
 
 ORACLES = {
@@ -1103,4 +1193,6 @@ ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,
     "nation_setops": SETOPS_SQL,
+    "transcript_containment": TRANSCRIPT_CONTAINMENT_SQL,
+    "emb_cosine_dup_pairs": EMB_COSINE_DUP_SQL,
 }
