@@ -24,3 +24,102 @@ def test_streaming_chunks_equal_batch(spark, tmp_path):
         (r.clip_id, r.chunk_idx, r.offset, r.length) for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def _write_ts_clips(path, n_base, seed, ts_epochs):
+    """Clips parquet with an event_ts column (cycled over ts_epochs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    rows, _ = clips_src.generate_clips(n_base=n_base, dup_frac=0.0, near_frac=0.0,
+                                       n_const=0, seed=seed)
+    ts = [datetime.fromtimestamp(ts_epochs[i % len(ts_epochs)], tz=timezone.utc)
+          for i in range(len(rows))]
+    table = pa.table({
+        "clip_id": pa.array([r["clip_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r["sr_hz"] for r in rows], pa.int32()),
+        "dur_ms": pa.array([r["dur_ms"] for r in rows], pa.int32()),
+        "codec": pa.array([r["codec"] for r in rows], pa.string()),
+        "transcript": pa.array([r["transcript"] for r in rows], pa.string()),
+        "event_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+    })
+    pq.write_table(table, path)
+    return rows
+
+
+def test_windowed_chunk_stats_with_watermark(spark, tmp_path):
+    """Event-time windowed streaming agg: the watermark finalizes window
+    [0, 60s) once later files push event time past end+watermark, and its
+    stats equal the batch chunking of the same clips."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from go_cdc_chunkers_spark.streaming.ingest import (
+        stream_clips_with_ts, windowed_chunk_stats)
+
+    d = tmp_path / "tsclips"
+    d.mkdir()
+    rows1 = _write_ts_clips(str(d / "f1.parquet"), 6, 11, [5, 20, 50])
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    _write_ts_clips(str(d / "f2.parquet"), 3, 12, [300])
+    _time.sleep(1.1)
+    _write_ts_clips(str(d / "f3.parquet"), 2, 13, [600])
+
+    stream = stream_clips_with_ts(spark, str(d), max_files_per_trigger=1)
+    q = (
+        windowed_chunk_stats(stream, opts=OPTS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.window_start.isoformat(): (r.n_chunks, r.total_bytes)
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    # the first window must have been finalized and emitted
+    first = [v for k, v in sorted(got.items())][0]
+    # batch ground truth over file1's clips
+    batch = chunk_clips(
+        spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"])) for r in rows1],
+            "clip_id string, bytes binary",
+        ),
+        "fastcdc-v1.0.0", OPTS,
+    ).agg(F.count("*").alias("n"), F.sum("length").alias("b")).collect()[0]
+    assert first == (batch.n, batch.b), (first, (batch.n, batch.b))
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state: a chunk hash seen in batch 1
+    must not be re-emitted by batch 2 (same clips re-ingested)."""
+    import shutil
+    import time as _time
+
+    from go_cdc_chunkers_spark.streaming.ingest import (
+        stream_clips_with_ts, streaming_exact_dedup)
+
+    d = tmp_path / "dedupclips"
+    d.mkdir()
+    _write_ts_clips(str(d / "f1.parquet"), 5, 21, [10])
+    _time.sleep(1.1)
+    # identical clip content re-ingested a minute later (same seed)
+    _write_ts_clips(str(d / "f2.parquet"), 5, 21, [70])
+
+    stream = stream_clips_with_ts(spark, str(d), max_files_per_trigger=1)
+    q = (
+        streaming_exact_dedup(stream, opts=OPTS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT chunk_hash FROM dedup_out").collect()
+    hashes = [bytes(r.chunk_hash) for r in out]
+    assert len(hashes) == len(set(hashes)) > 0
