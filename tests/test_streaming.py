@@ -123,3 +123,68 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     out = spark.sql("SELECT chunk_hash FROM dedup_out").collect()
     hashes = [bytes(r.chunk_hash) for r in out]
     assert len(hashes) == len(set(hashes)) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: completed sessions from the
+    stream == batch lag+cumsum sessions minus each user's final (still
+    open) session."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from go_cdc_chunkers_spark.streaming.sessionize import streaming_sessionize
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", F.unix_timestamp("ts").cast("long").alias("t"))
+        .orderBy("t")
+        .toPandas()
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    half = len(ev) // 2
+    # split at the global time median: per-user event order is preserved
+    pq.write_table(pa.Table.from_pandas(ev.iloc[:half]), str(d / "f1.parquet"))
+    _time.sleep(1.1)
+    pq.write_table(pa.Table.from_pandas(ev.iloc[half:]), str(d / "f2.parquet"))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    # batch ground truth: all sessions, then drop each user's last one
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        ts = sorted(int(t) for t in g["t"])
+        sessions = []
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > 1800:
+                sessions.append((int(uid), start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want.update(sessions)  # final open session intentionally excluded
+    assert got == want and len(got) > 0
