@@ -33,12 +33,26 @@ _U8P = ctypes.POINTER(ctypes.c_uint8)
 _I64P = ctypes.POINTER(ctypes.c_int64)
 
 
+def _read_source() -> bytes | None:
+    """Read _native.c from the package -- works from a plain checkout AND
+    from a spark-submit --py-files zip (zipimport exposes resources)."""
+    try:
+        return _SRC.read_bytes()
+    except OSError:
+        pass
+    try:
+        from importlib import resources
+
+        return (resources.files(__package__) / "_native.c").read_bytes()
+    except Exception:
+        return None
+
+
 def _build() -> ctypes.CDLL | None:
     if os.environ.get("SPARK_GRAFT_NO_NATIVE"):
         return None
-    try:
-        src = _SRC.read_bytes()
-    except OSError:
+    src = _read_source()
+    if src is None:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
     cache_dir = Path(tempfile.gettempdir()) / "go_cdc_native"
@@ -46,12 +60,17 @@ def _build() -> ctypes.CDLL | None:
     if not so.exists():
         try:
             cache_dir.mkdir(parents=True, exist_ok=True)
+            # compile from the read bytes (the package may live in a
+            # --py-files zip where _SRC is not a real filesystem path)
+            csrc = cache_dir / f".cdc_{tag}.{os.getpid()}.c"
+            csrc.write_bytes(src)
             tmp = cache_dir / f".cdc_{tag}.{os.getpid()}.so"
             subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                ["cc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(csrc)],
                 check=True, capture_output=True, timeout=120,
             )
             os.replace(tmp, so)  # atomic: concurrent workers race safely
+            csrc.unlink(missing_ok=True)
         except Exception:
             return None
     try:
