@@ -1131,6 +1131,56 @@ WHERE round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) >= 0.35
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: deterministic coarse quantizer (1 Lloyd step over
+    scaled-integer sums) -> probe 4 of 16 clusters per query -> integer-exact
+    top-5. Centroids (the only non-relational step: the iterative k-means)
+    are materialized; the oracle recomputes assignment, probing, scoring and
+    top-k from them."""
+    from .operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=16, iters=1)
+    cmat = _materialize(spark, cents, "ann_ivf_centroids")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), cmat,
+                               k=5, n_probe=4)
+
+
+def _ivf_sql() -> str:
+    cos = ("round(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+           "x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) "
+           "/ sqrt(CAST(list_sum(list_transform({a}, "
+           "x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) "
+           "* CAST(list_sum(list_transform({b}, "
+           "x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)), 6)")
+    sim_ec = cos.format(a="e.embedding", b="c.centroid")
+    return f"""
+WITH c AS (SELECT * FROM {_mat('ann_ivf_centroids')}),
+sc AS (
+  SELECT e.vec_id, c.centroid_id, {sim_ec} AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM sc WHERE vec_id < 20) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+{_ANN_SCORE_SQL}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1166,9 +1216,11 @@ QUERIES = {
     "nation_setops": supplier_customer_nation_setops,
     "transcript_containment": transcript_containment,
     "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
+    "ann_ivf_topk": _ivf_sql(),
     "cdc_measure_all_algos": CDC_MEASURE_SQL,
     "cdc_distribution": CDC_DISTRIBUTION_SQL,
     "cdc_compare_regression_gate": CDC_COMPARE_SQL,

@@ -220,6 +220,123 @@ def topk_from_candidates(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> cluster assignment -> probe
+# the n_probe nearest clusters per query. The second scale path next to the
+# LSH buckets; everything integer-exact and deterministic (centroid means
+# are computed from scaled-integer sums, so no float fold-order sensitivity).
+# ---------------------------------------------------------------------------
+
+_MEAN_SCALE = 1e6
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by integer-exact cosine,
+    ties broken by centroid_id. Centroids are broadcast (k is small)."""
+    from pyspark.sql.functions import broadcast
+
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(broadcast(centroids)).withColumn(
+        "_sim", cosine_expr(F.col("_v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """(centroid_id, centroid array<double>) coarse quantizer. Seeds are a
+    deterministic pseudo-random sample (xxhash64 order -- at 10^12 rows use
+    TABLESAMPLE + local k-means on the driver instead of the global sort);
+    `iters` Lloyd steps refine them with cluster means computed from
+    scaled-integer sums (order-free, bit-deterministic)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    cents = (
+        embeddings.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(
+            F.col("_rn").alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assign = ivf_assign(embeddings, cents, id_col, vec_col)
+        dims = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        sums = (
+            dims.join(assign, "vec_id")
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val").cast("double") * F.lit(_MEAN_SCALE)).cast("long")
+                ).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .withColumn("val", F.col("_s") / F.col("_n") / F.lit(_MEAN_SCALE))
+        )
+        cents = sums.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("centroid")
+        )
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: per query, probe the n_probe nearest clusters, score only
+    their members (integer-exact), take top-k. Candidates ~ n_probe/k_cent
+    of the corpus -- the coarse-quantizer analogue of the LSH bucket path."""
+    from pyspark.sql.functions import broadcast
+
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qv = embeddings.join(queries.select(id_col).distinct(), id_col, "left_semi")
+    qscored = (
+        qv.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_sim", cosine_expr(F.col("_v"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return topk_from_candidates(embeddings, cand, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

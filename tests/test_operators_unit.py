@@ -303,3 +303,41 @@ def test_simhash_hot_bucket_star_cap(spark):
         .select("component_id").distinct().count()
     )
     assert n_comps == 1
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = np.vstack(
+        [c + rng.standard_normal((15, 24)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    cents = similarity.ivf_centroids(df, n_centroids=8, iters=2)
+    ivf = similarity.ivf_topk(df, q, cents, k=3, n_probe=2).collect()
+    bf = similarity.brute_force_topk(df, q, k=3).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.8, recall
+    # sub-linear candidates: 2 of 8 probes -> ~1/4 of corpus scored
+    assign = similarity.ivf_assign(df, cents)
+    sizes = [r["count"] for r in assign.groupBy("centroid_id").count().collect()]
+    assert len(sizes) >= 4  # quantizer actually partitions the space
+
+
+def test_ivf_centroids_deterministic(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    a = similarity.ivf_centroids(df, n_centroids=4, iters=1).collect()
+    b = similarity.ivf_centroids(df, n_centroids=4, iters=1).collect()
+    ka = sorted((r.centroid_id, tuple(r.centroid)) for r in a)
+    kb = sorted((r.centroid_id, tuple(r.centroid)) for r in b)
+    assert ka == kb
