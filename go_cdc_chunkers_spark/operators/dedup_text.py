@@ -163,8 +163,11 @@ def md5_lsh_pairs(
 def simhash_pieces(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """(clip_id, simhash, piece_id, piece): the 4x16-bit banded SimHash
-    bucket keys (pigeonhole: ham <= 12 -> some 16-bit piece equal when <= 3
-    pieces differ)."""
+    bucket keys. Pigeonhole: 4 pieces GUARANTEE a shared piece for
+    hamming <= 3; above that, detection requires the flipped bits to leave
+    some piece untouched (high-probability for small hamming, recall < 1 by
+    design -- the standard Manku-style table/recall trade; add pieces or
+    rotations for a harder guarantee)."""
     from .signatures import simhash64
 
     sim = simhash64(docs, text_col=text_col, id_col=id_col)

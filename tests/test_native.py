@@ -66,3 +66,36 @@ def test_native_edge_sizes():
         want = kernels._fastcdc_lengths(arr, r, GEAR)
         assert got == want, n
         assert sum(got) == n
+
+
+def test_native_random_configs_vs_naive():
+    """Seeded randomized sweep straight against the per-byte oracle
+    (naive.py): random geometry x random fillers x all families. Catches C
+    port edge cases the fixed matrix might miss (jump overshoot, LEST runs,
+    spec_faithful switches)."""
+    if not native.available():
+        pytest.skip("no C compiler in image")
+    from go_cdc_chunkers_spark.cdc import naive
+
+    rng = np.random.default_rng(123)
+    algos = ALGOS
+    for case in range(40):
+        algo = algos[case % len(algos)]
+        key = KEY if algo == "kfastcdc" else None
+        mn = int(rng.integers(16, 512))
+        nm = mn * int(rng.integers(2, 6))
+        mx = nm * int(rng.integers(2, 6))
+        r = resolve(algo, ChunkerOpts(min_size=mn, normal_size=nm, max_size=mx, key=key))
+        kind = case % 4
+        n = int(rng.integers(0, 48_000))
+        if kind == 0:
+            arr = rng.integers(0, 256, n, dtype=np.uint8)
+        elif kind == 1:
+            arr = np.zeros(n, dtype=np.uint8)
+        elif kind == 2:
+            arr = np.tile(np.frombuffer(b"plakar", dtype=np.uint8), n // 6 + 1)[:n]
+        else:
+            arr = rng.integers(0, 4, n, dtype=np.uint8)  # low-entropy-ish
+        got = native.split_lengths_native(r, arr, _table_for(r))
+        want = naive.split_naive(r, arr.tobytes())
+        assert got == want, (algo, (mn, nm, mx), kind, n)
