@@ -5,10 +5,13 @@ clips table (BASELINE.json input_hint shape), chunk it with fastcdc-v1.0.0
 through the vectorized pandas-UDF kernel, and return the per-algo
 measure + distribution metrics row (SURVEY.md build plan step 2).
 
-queries(): one entry per implemented operator (SURVEY.md section 2).
-CDC-cutpoint queries have no ANSI-SQL equivalent (the cutpoint oracle is the
-golden-fingerprint pytest suite instead); they are rows-only here. All
-relational / dedup / text / embedding operators carry exact DuckDB oracles.
+queries(): one entry per implemented operator (SURVEY.md section 2). EVERY
+query carries an exact DuckDB oracle: relational / dedup / text / embedding
+operators directly; CDC / sketch / frame-feature queries by materializing
+their non-SQL intermediate relation (chunks, sketch pieces, centroids,
+integer frame features) to a deterministic parquet path that the oracle SQL
+reads back (the cutpoint scan itself is pinned byte-for-byte by the
+126-case golden suite, tests/test_golden.py).
 
 Column names are aliased identically in Spark and SQL so the driver's
 order-insensitive value-hash comparison holds.
