@@ -1309,6 +1309,72 @@ cand AS (
 """
 
 
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the text_quality.doc_fingerprint
+    method, driver-checked): word 2-gram xxhash64 positions are materialized,
+    then BOTH engines perform the winnowing itself relationally -- min over
+    each full sliding window of 8 gram hashes (short docs: one global min),
+    distinct per doc."""
+    docs = _table(spark, sf_dir, "documents")
+    window = 8
+    words = docs.select(
+        F.col("doc_id"), F.split(F.trim(F.col("text")), r" +").alias("_w")
+    )
+    grams = words.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda j: F.xxhash64(F.concat_ws(" ", F.slice("_w", j + 1, 2))),
+                ),
+            ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", "_w"))))
+        ).alias("pos", "ghash"),
+    )
+    t = _materialize(spark, grams, "doc_winnow_grams")
+    n = t.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.currentRow, window - 1
+    )
+    full = (
+        t.join(n, "doc_id")
+        .filter(F.col("_n") >= window)
+        .withColumn("fp", F.min("ghash").over(wmin))
+        .filter(F.col("pos") <= F.col("_n") - window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    short = (
+        t.join(n, "doc_id")
+        .filter(F.col("_n") < window)
+        .groupBy("doc_id")
+        .agg(F.min("ghash").alias("fp"))
+    )
+    return full.unionByName(short).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+
+
+DOC_WINNOW_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('doc_winnow_grams')}),
+c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+wm AS (
+  SELECT t.doc_id,
+         min(ghash) OVER (PARTITION BY t.doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+         pos, c.n
+  FROM t JOIN c USING (doc_id)
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, fp::BIGINT AS fp
+FROM wm WHERE n >= 8 AND pos <= n - 8
+UNION
+SELECT doc_id::BIGINT, min(ghash)::BIGINT AS fp
+FROM t JOIN c USING (doc_id) WHERE n < 8 GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1348,9 +1414,11 @@ QUERIES = {
     "tpch_q14_promo": tpch_q14_promo,
     "revenue_rollup_totals": revenue_rollup_totals,
     "customers_without_orders": customers_without_orders,
+    "doc_winnow_fingerprint": doc_winnow_fingerprint,
 }
 
 ORACLES = {
+    "doc_winnow_fingerprint": DOC_WINNOW_SQL,
     "ann_ivf_topk": _ivf_sql(),
     "tpch_q14_promo": TPCH_Q14_SQL,
     "revenue_rollup_totals": REVENUE_ROLLUP_TOTALS_SQL,
