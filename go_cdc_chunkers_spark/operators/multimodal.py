@@ -25,13 +25,43 @@ FRAME_FEATURES_SCHEMA = (
 )
 
 
+def _decode_wav(raw: bytes) -> np.ndarray:
+    """Real RIFF/WAVE parser for uncompressed PCM s16le (no codec libs
+    needed): walks the chunk list, checks fmt (format tag 1, 16-bit),
+    returns the data payload as int16 samples."""
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = int.from_bytes(raw[pos + 4:pos + 8], "little")
+        body = raw[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"wav: only PCM s16le supported (tag={tag}, bits={bits})"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    n = len(data) - (len(data) % 2)
+    return np.frombuffer(data[:n], dtype="<i2")
+
+
 def _decode_pcm_batch(raw: bytes, codec: str) -> np.ndarray:
     if codec == "pcm_s16le":
         n = len(raw) - (len(raw) % 2)
         return np.frombuffer(raw[:n], dtype="<i2")
+    if codec == "wav":
+        return _decode_wav(raw)
     raise NotImplementedError(
-        f"codec {codec!r}: real decoder not available in this image; "
-        "plumbing (schema/batching) is exercised with pcm_s16le"
+        f"codec {codec!r}: compressed-codec decoders are not available in "
+        "this image; pcm_s16le and RIFF/WAVE are decoded for real"
     )
 
 
@@ -103,37 +133,152 @@ def audio_frame_sample(
 
 
 # ---------------------------------------------------------------------------
-# Stubbed modalities: real Spark plumbing, fake decode.
+# Image: real decoders for uncompressed formats (PPM P6, 24-bit BMP) --
+# no codec libs needed; compressed formats (JPEG/PNG/...) raise where a
+# PIL/opencv call would go (libs absent in this image). Fake path kept for
+# plumbing tests.
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURES_SCHEMA = "item_id string, width int, height int, mean_luma double"
 
 
+def _decode_ppm(raw: bytes) -> np.ndarray:
+    """PPM P6 (binary RGB): returns HxWx3 uint8."""
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    parts, pos, token = [], 2, b""
+    while len(parts) < 3 and pos < len(raw):
+        c = raw[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            if token:
+                parts.append(int(token))
+                token = b""
+        else:
+            token += c
+        pos += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("ppm: only maxval 255")
+    px = np.frombuffer(raw[pos:pos + w * h * 3], dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): returns HxWx3 uint8 RGB,
+    top-down row order (BMP stores bottom-up, BGR, 4-byte-padded rows)."""
+    if raw[0:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"bmp: only uncompressed 24-bit (bpp={bpp})")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw[data_off:data_off + stride * abs(h)], dtype=np.uint8)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    bgr = rows[::-1] if h > 0 else rows  # bottom-up -> top-down
+    return bgr[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    if raw.startswith(b"P6"):
+        return _decode_ppm(raw)
+    if raw[0:2] == b"BM":
+        return _decode_bmp(raw)
+    raise NotImplementedError(
+        "image decode for compressed formats requires PIL/opencv (not in "
+        "this image); PPM P6 and 24-bit BMP are decoded for real"
+    )
+
+
 def image_features(images: DataFrame, id_col: str = "item_id",
                    deterministic_fake: bool = False) -> DataFrame:
-    """Image decode + feature extraction plumbing. With deterministic_fake,
-    a seeded stand-in 'decoder' (bytes -> pseudo pixel stats) exercises the
-    batch path end to end; without it, raises NotImplementedError exactly
-    where a real `PIL.Image.open` call would go."""
+    """Image decode + feature extraction. Real decode for PPM P6 / 24-bit
+    BMP (pure numpy); mean_luma uses the Rec.601 integer-friendly weights.
+    With deterministic_fake, a seeded stand-in 'decoder' exercises the
+    batch path for arbitrary bytes instead."""
 
     def gen(batches):
         for pdf in batches:
             out = {"item_id": [], "width": [], "height": [], "mean_luma": []}
             for iid, raw in zip(pdf[id_col], pdf["bytes"]):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "image decode requires PIL/opencv (not in this image); "
-                        "run with deterministic_fake=True to exercise plumbing"
+                if deterministic_fake:
+                    buf = np.frombuffer(bytes(raw), dtype=np.uint8)
+                    w = 16 + int(buf[:4].sum()) % 64 if len(buf) >= 4 else 16
+                    h = 16 + int(buf[4:8].sum()) % 64 if len(buf) >= 8 else 16
+                    luma = float(buf.mean()) if len(buf) else 0.0
+                else:
+                    img = decode_image(bytes(raw))
+                    h, w = img.shape[0], img.shape[1]
+                    px = img.astype(np.float64)
+                    luma = float(
+                        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                         + 0.114 * px[:, :, 2]).mean()
                     )
-                buf = np.frombuffer(bytes(raw), dtype=np.uint8)
-                w = 16 + int(buf[:4].sum()) % 64 if len(buf) >= 4 else 16
-                h = 16 + int(buf[4:8].sum()) % 64 if len(buf) >= 8 else 16
                 out["item_id"].append(iid)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["mean_luma"].append(float(buf.mean()) if len(buf) else 0.0)
+                out["mean_luma"].append(round(luma, 9))
             yield pd.DataFrame(out)
 
     return images.select(F.col(id_col).alias("item_id"), "bytes").mapInPandas(
         gen, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: raw (uncontainered) frame formats -- frame sampling is real byte
+# math; compressed codecs raise where an ffmpeg/pyav call would go.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = "item_id string, frame_idx int, t_ms int, frame_bytes binary"
+
+_PIXFMT_BPP = {"yuv420p": 1.5, "gray8": 1.0, "rgb24": 3.0}
+
+
+def video_frame_sample(
+    videos: DataFrame,
+    every_n: int = 10,
+    id_col: str = "item_id",
+    pixfmt_col: str = "pixfmt",
+    width_col: str = "width",
+    height_col: str = "height",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Sample every Nth frame of a RAW video byte stream (yuv420p / gray8 /
+    rgb24 with typed metadata columns): frame size is width*height*bpp, so
+    sampling is exact byte slicing -- a real implementation, no codec
+    needed. Compressed payloads raise NotImplementedError at the decode
+    point (ffmpeg/pyav absent in this image)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"item_id": [], "frame_idx": [], "t_ms": [], "frame_bytes": []}
+            for iid, raw, fmt, w, h, fps in zip(
+                pdf[id_col], pdf["bytes"], pdf[pixfmt_col],
+                pdf[width_col], pdf[height_col], pdf[fps_col],
+            ):
+                if fmt not in _PIXFMT_BPP:
+                    raise NotImplementedError(
+                        f"video pixfmt {fmt!r}: compressed codecs need "
+                        "ffmpeg/pyav (not in this image); raw yuv420p/"
+                        "gray8/rgb24 are sampled for real"
+                    )
+                fsz = int(int(w) * int(h) * _PIXFMT_BPP[fmt])
+                n_frames = len(raw) // fsz
+                for i in range(0, n_frames, every_n):
+                    out["item_id"].append(iid)
+                    out["frame_idx"].append(i)
+                    out["t_ms"].append(int(i * 1000 / float(fps)))
+                    out["frame_bytes"].append(bytes(raw[i * fsz:(i + 1) * fsz]))
+            yield pd.DataFrame(out)
+
+    cols = [F.col(id_col).alias("item_id"), "bytes", pixfmt_col, width_col,
+            height_col, fps_col]
+    return videos.select(*cols).mapInPandas(gen, schema=VIDEO_FRAME_SCHEMA)

@@ -341,3 +341,95 @@ def test_ivf_centroids_deterministic(spark):
     ka = sorted((r.centroid_id, tuple(r.centroid)) for r in a)
     kb = sorted((r.centroid_id, tuple(r.centroid)) for r in b)
     assert ka == kb
+
+
+# ---------------------------------------------------------------------------
+# multimodal: real decoders for uncompressed formats (no codec libs)
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples: np.ndarray, sr: int) -> bytes:
+    pcm = samples.astype("<i2").tobytes()
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_decode_matches_raw_pcm(spark):
+    from go_cdc_chunkers_spark.operators.multimodal import audio_frame_features
+
+    rng = np.random.default_rng(31)
+    samples = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    df = spark.createDataFrame(
+        [("raw", bytearray(samples.tobytes()), 16000, 1000, "pcm_s16le", ""),
+         ("wav", bytearray(_wav_bytes(samples, 16000)), 16000, 1000, "wav", "")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    rows = audio_frame_features(df).collect()
+    raw = sorted((r.frame_idx, r.energy, r.zcr) for r in rows if r.clip_id == "raw")
+    wav = sorted((r.frame_idx, r.energy, r.zcr) for r in rows if r.clip_id == "wav")
+    assert raw == wav and len(raw) > 0
+
+
+def test_ppm_bmp_decode_real_pixels(spark):
+    from go_cdc_chunkers_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, image_features)
+
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    ppm = b"P6\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(_decode_ppm(ppm), img)
+
+    # hand-build a 24-bit BMP (bottom-up, BGR, padded rows)
+    stride = (7 * 3 + 3) & ~3
+    rows = b""
+    for y in range(4, -1, -1):
+        row = img[y][:, ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little") + (7).to_bytes(4, "little", signed=True)
+              + (5).to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+              + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+              + b"\x00" * 20)
+    bmp = header + rows
+    assert np.array_equal(_decode_bmp(bmp), img)
+
+    df = spark.createDataFrame(
+        [("p", bytearray(ppm)), ("b", bytearray(bmp))], "item_id string, bytes binary"
+    )
+    got = {r.item_id: (r.width, r.height, r.mean_luma)
+           for r in image_features(df).collect()}
+    px = img.astype(np.float64)
+    want_luma = round(float((0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                             + 0.114 * px[:, :, 2]).mean()), 9)
+    assert got["p"] == (7, 5, want_luma) and got["b"] == (7, 5, want_luma)
+
+
+def test_video_frame_sample_raw_yuv(spark):
+    from go_cdc_chunkers_spark.operators.multimodal import video_frame_sample
+
+    rng = np.random.default_rng(33)
+    w, h, n_frames = 8, 6, 25
+    fsz = int(w * h * 1.5)
+    payload = rng.integers(0, 256, fsz * n_frames, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [("v0", bytearray(payload), "yuv420p", w, h, 10.0)],
+        "item_id string, bytes binary, pixfmt string, width int, height int, fps double",
+    )
+    rows = sorted(video_frame_sample(df, every_n=10).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 10, 20]
+    assert [r.t_ms for r in rows] == [0, 1000, 2000]
+    for r in rows:
+        assert bytes(r.frame_bytes) == payload[r.frame_idx * fsz:(r.frame_idx + 1) * fsz]
+    # compressed codec -> raises at the decode point
+    bad = spark.createDataFrame(
+        [("v1", bytearray(b"xx"), "h264", w, h, 10.0)],
+        "item_id string, bytes binary, pixfmt string, width int, height int, fps double",
+    )
+    with pytest.raises(Exception):
+        video_frame_sample(bad).collect()
