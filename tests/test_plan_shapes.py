@@ -95,3 +95,42 @@ def test_verification_pure_jvm(spark):
     assert "Python" not in plan(v)
     row = v.collect()[0]
     assert row.jaccard_pcm == 0.5 and row.simhash_ham == 1 and bool(row.is_dup)
+
+
+def test_ann_scale_paths_no_cartesian(spark):
+    """The LSH and IVF search paths must never plan a CartesianProduct:
+    LSH candidates come from an equi-join on (band_id, piece); IVF's only
+    non-equi join is the intentional broadcast of the tiny centroid table
+    (BroadcastNestedLoopJoin is acceptable there; a shuffled cartesian is
+    not)."""
+    import numpy as np
+
+    from go_cdc_chunkers_spark.operators import similarity
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+
+    p_lsh = plan(similarity.lsh_bucketed_topk(df, q, k=3))
+    assert "CartesianProduct" not in p_lsh
+
+    cents = similarity.ivf_centroids(df, n_centroids=4, iters=0)
+    p_ivf = plan(similarity.ivf_topk(df, q, cents, k=3, n_probe=2))
+    assert "CartesianProduct" not in p_ivf
+
+
+def test_simhash_pairs_equi_join_only(spark):
+    """SimHash candidate generation joins on (piece_id, piece) -- an
+    equi-join, never a cartesian."""
+    from go_cdc_chunkers_spark.operators import dedup_text
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    p = plan(dedup_text.simhash_pairs(docs, max_hamming=16))
+    assert "CartesianProduct" not in p
