@@ -143,3 +143,32 @@ def test_fingerprint_cuts_hash_matches_kernel(spark, clips_df):
     for rec in rows:
         want = kernels.fingerprint(r, bytes(rec["bytes"]))["cuts_hash"]
         assert got[rec["clip_id"]] == want, rec["clip_id"]
+
+
+def test_clips_from_files_tree(spark, tmp_path, clips_df):
+    """P1 file-tree source (binaryFile): files land in the clips schema and
+    chunk identically to the same bytes through the parquet path."""
+    from go_cdc_chunkers_spark.sources.files import clips_from_files
+
+    df, rows = clips_df
+    d = tmp_path / "tree" / "sub"
+    d.mkdir(parents=True)
+    for i, rec in enumerate(rows[:4]):
+        p = (d if i % 2 else d.parent) / f"{rec['clip_id']}.pcm"
+        p.write_bytes(bytes(rec["bytes"]))
+    files = clips_from_files(spark, str(tmp_path / "tree"), glob="*.pcm")
+    assert files.count() == 4
+    got = {
+        row.clip_id.split("/")[-1].removesuffix(".pcm"): (row.n_chunks, row.total_bytes)
+        for row in chunking.fingerprint_by_clip(
+            chunking.chunk_clips(files, "fastcdc-v1.0.0", OPTS)
+        ).collect()
+    }
+    want = {
+        row.clip_id: (row.n_chunks, row.total_bytes)
+        for row in chunking.fingerprint_by_clip(
+            chunking.chunk_clips(df, "fastcdc-v1.0.0", OPTS)
+        ).collect()
+        if row.clip_id in got
+    }
+    assert got == want and len(got) == 4
