@@ -55,11 +55,31 @@ def _build() -> ctypes.CDLL | None:
     if src is None:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = Path(tempfile.gettempdir()) / "go_cdc_native"
+    # Per-user 0700 cache dir, never a shared world-writable path: the .so
+    # path is predictable from the public source hash, so a shared /tmp dir
+    # would let another local user pre-plant a library that every Spark
+    # worker dlopens. XDG cache if available, else a per-uid tmp dir.
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    if not os.path.isabs(base) or base.startswith("~"):
+        base = os.path.join(tempfile.gettempdir(), f"go_cdc_native_uid{os.getuid()}")
+    cache_dir = Path(base) / "go_cdc_native"
     so = cache_dir / f"cdc_{tag}.so"
-    if not so.exists():
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        os.chmod(cache_dir, 0o700)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            return None  # someone else owns (or can write) the cache dir
+    except OSError:
+        return None
+    if so.exists():
+        st = os.stat(so)
+        if st.st_uid != os.getuid():
+            return None  # refuse to dlopen a library we did not build
+    else:
         try:
-            cache_dir.mkdir(parents=True, exist_ok=True)
             # compile from the read bytes (the package may live in a
             # --py-files zip where _SRC is not a real filesystem path)
             csrc = cache_dir / f".cdc_{tag}.{os.getpid()}.c"

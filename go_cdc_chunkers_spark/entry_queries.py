@@ -813,27 +813,42 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
-ANN_BRUTEFORCE_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-    CAST(list_sum(list_transform(list_zip(qv, cv),
-         x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dot_s,
-    CAST(list_sum(list_transform(qv,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS na,
-    CAST(list_sum(list_transform(cv,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS nb
-  FROM q CROSS JOIN c
-  WHERE query_id <> neighbor_id
+# Lambda-free ANN scoring (same rule as _md5_minhash_sql: DuckDB 1.0 gave
+# nondeterministic wrong results for list_transform lambdas under self-join
+# plans, so every oracle dot product is unnest + generate_subscripts + an
+# equi-join on the dimension index -- pure joins/aggregates). Per-element
+# rounding to integer picovalues BEFORE the sum keeps the fold order-free
+# and bit-identical to the Spark side.
+_ANN_DIMS_SQL = """
+dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT) AS nrm
+  FROM dims GROUP BY vec_id
+)"""
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH {_ANN_DIMS_SQL},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(sum(CAST(round(a.val * b.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+  FROM dims a JOIN dims b ON b.pos = a.pos
+  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, neighbor_id,
-         round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) DESC,
-                                     neighbor_id) AS rk
-  FROM scored
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot_s / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)), 6) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY round(d.dot_s / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)), 6) DESC,
+                                     d.neighbor_id) AS rk
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
 )
 SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
        cosine, rk::INT AS rk
@@ -942,26 +957,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_from_candidates(emb, cand, k=5)
 
 
+# Consumes a `cand(query_id, neighbor_id)` CTE; expects _ANN_DIMS_SQL's
+# dims/norms CTEs to be in scope. Lambda-free (see _ANN_DIMS_SQL note).
 _ANN_SCORE_SQL = """
-scored AS (
+dots AS (
   SELECT c.query_id, c.neighbor_id,
-    CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
-         x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dot_s,
-    CAST(list_sum(list_transform(q.embedding,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS na,
-    CAST(list_sum(list_transform(n.embedding,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS nb
+         CAST(sum(CAST(round(qd.val * nd.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
   FROM cand c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id
+  JOIN dims qd ON qd.vec_id = c.query_id
+  JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.pos = qd.pos
+  GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, neighbor_id,
-         round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) DESC,
-                                     neighbor_id) AS rk
-  FROM scored
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot_s / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)), 6) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY round(d.dot_s / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)), 6) DESC,
+                                     d.neighbor_id) AS rk
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
 )
 SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
        cosine, rk::INT AS rk
@@ -975,6 +990,7 @@ cand AS (
   FROM p qp JOIN p cp ON qp.band_id = cp.band_id AND qp.piece = cp.piece
   WHERE qp.vec_id < 20 AND qp.vec_id <> cp.vec_id
 ),
+{_ANN_DIMS_SQL},
 {_ANN_SCORE_SQL}
 """
 
@@ -1112,22 +1128,24 @@ cand AS (
   FROM p x JOIN p y ON x.band_id = y.band_id AND x.piece = y.piece
   WHERE x.vec_id < y.vec_id
 ),
-scored AS (
+{_ANN_DIMS_SQL},
+dots AS (
   SELECT c.a, c.b,
-    CAST(list_sum(list_transform(list_zip(q.embedding, n.embedding),
-         x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS dot_s,
-    CAST(list_sum(list_transform(q.embedding,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS na,
-    CAST(list_sum(list_transform(n.embedding,
-         x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) AS nb
+         CAST(sum(CAST(round(ad.val * bd.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
   FROM cand c
-  JOIN embeddings q ON q.vec_id = c.a
-  JOIN embeddings n ON n.vec_id = c.b
+  JOIN dims ad ON ad.vec_id = c.a
+  JOIN dims bd ON bd.vec_id = c.b AND bd.pos = ad.pos
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.a, d.b,
+         round(d.dot_s / sqrt(CAST(an.nrm AS DOUBLE) * CAST(bn.nrm AS DOUBLE)), 6) AS cosine
+  FROM dots d
+  JOIN norms an ON an.vec_id = d.a
+  JOIN norms bn ON bn.vec_id = d.b
 )
-SELECT a::BIGINT AS a, b::BIGINT AS b,
-       round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
-FROM scored
-WHERE round(dot_s / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) >= 0.35
+SELECT a::BIGINT AS a, b::BIGINT AS b, cosine
+FROM scored WHERE cosine >= 0.35
 """
 
 
@@ -1275,18 +1293,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sql() -> str:
-    cos = ("round(CAST(list_sum(list_transform(list_zip({a}, {b}), "
-           "x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT) "
-           "/ sqrt(CAST(list_sum(list_transform({a}, "
-           "x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE) "
-           "* CAST(list_sum(list_transform({b}, "
-           "x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)), 6)")
-    sim_ec = cos.format(a="e.embedding", b="c.centroid")
+    # Lambda-free (see _ANN_DIMS_SQL note): centroid dims/norms mirror the
+    # embedding ones; the embedding x centroid similarity is a pos equi-join.
     return f"""
 WITH c AS (SELECT * FROM {_mat('ann_ivf_centroids')}),
+{_ANN_DIMS_SQL},
+cdims AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS val
+  FROM c
+),
+cnorms AS (
+  SELECT centroid_id,
+         CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT) AS nrm
+  FROM cdims GROUP BY centroid_id
+),
+ecdots AS (
+  SELECT e.vec_id, cd.centroid_id,
+         CAST(sum(CAST(round(e.val * cd.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+  FROM dims e JOIN cdims cd ON cd.pos = e.pos
+  GROUP BY 1, 2
+),
 sc AS (
-  SELECT e.vec_id, c.centroid_id, {sim_ec} AS sim
-  FROM embeddings e CROSS JOIN c
+  SELECT d.vec_id, d.centroid_id,
+         round(d.dot_s / sqrt(CAST(en.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)), 6) AS sim
+  FROM ecdots d
+  JOIN norms en ON en.vec_id = d.vec_id
+  JOIN cnorms cn ON cn.centroid_id = d.centroid_id
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1376,8 +1409,69 @@ FROM t JOIN c USING (doc_id) WHERE n < 8 GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# Registry
+# Large-file overlap-stitch chunking (operators/bigfile.py): the stitched
+# range-split output must be byte-identical to whole-buffer chunking. The
+# query materializes the STITCHED relation; the oracle reads the
+# WHOLE-BUFFER relation (computed independently via the one-cell pandas-UDF
+# path) -- a value-hash match certifies stitched == whole, chunk for chunk.
 # ---------------------------------------------------------------------------
+
+def _bigfile_bytes() -> bytes:
+    """Deterministic ~2.4 MB payload: mostly incompressible PRNG bytes with
+    a 16 KB constant span (shorter than the overlap, so seams stay in
+    resync-friendly content while the span itself crosses chunk logic)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20240817)
+    a = rng.integers(0, 256, size=1_200_000, dtype=np.uint8).tobytes()
+    b = b"\xa5" * 16_384
+    c = rng.integers(0, 256, size=1_200_000, dtype=np.uint8).tobytes()
+    return a + b + c
+
+
+def cdc_bigfile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks of a multi-range file via bounded-memory range reads + seam
+    stitching (9 ranges of 256 KB + 64 KB overlap), vs the whole-buffer
+    kernel (the oracle side). Matches the reference's bounded-memory reader
+    contract (reader.go:35-107) at Spark scale."""
+    from .operators import bigfile
+
+    data = _bigfile_bytes()
+    root = f"{_MAT_ROOT}/bigfile_input"
+    os.makedirs(root, exist_ok=True)
+    path = f"{root}/input.bin"
+    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+        with open(path, "wb") as f:
+            f.write(data)
+
+    opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
+    files = spark.createDataFrame([(path, len(data))], "clip_id string, size long")
+    stitched = bigfile.chunk_files_ranged(
+        spark, files, "fastcdc-v1.0.0", opts,
+        range_bytes=262_144, overlap=65_536,
+    )
+    st = _materialize(spark, stitched, "cdc_bigfile_stitched")
+
+    whole_df = spark.createDataFrame(
+        [("bigfile", bytearray(data))], "clip_id string, bytes binary"
+    )
+    whole = chunking.chunk_clips(whole_df, "fastcdc-v1.0.0", opts)
+    _materialize(spark, whole, "cdc_bigfile_whole")
+
+    return st.select(
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("length").cast("long").alias("length"),
+        F.lower(F.hex("chunk_hash")).alias("hash_hex"),
+    )
+
+
+CDC_BIGFILE_SQL = f"""
+SELECT chunk_idx::INT AS chunk_idx, "offset"::BIGINT AS "offset",
+       length::BIGINT AS length, lower(hex(chunk_hash)) AS hash_hex
+FROM {_mat('cdc_bigfile_whole')}
+"""
+
 
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
@@ -1390,6 +1484,7 @@ QUERIES = {
     "cdc_length_histogram": cdc_length_histogram,
     "cdc_length_cdf": cdc_length_cdf,
     "cdc_transcript_chunks": cdc_transcript_chunks,
+    "cdc_bigfile_chunks": cdc_bigfile_chunks,
     # training-data ops (sketch/pieces materialized, method oracle-checked)
     "ann_lsh_topk": ann_lsh_topk,
     "doc_simhash_pairs": doc_simhash_pairs,
@@ -1431,6 +1526,7 @@ ORACLES = {
     "cdc_length_histogram": CDC_HISTOGRAM_SQL,
     "cdc_length_cdf": CDC_CDF_SQL,
     "cdc_transcript_chunks": CDC_TRANSCRIPT_SQL,
+    "cdc_bigfile_chunks": CDC_BIGFILE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_SQL,
     "audio_frame_energy": AUDIO_FRAME_SQL,

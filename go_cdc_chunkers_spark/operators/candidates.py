@@ -221,19 +221,30 @@ def _suffix_array(s: str):
     return sa
 
 
-def _sa_contains(haystack: str, needle: str) -> bool:
-    """Substring search by binary search over the suffix array."""
+def _sa_contains(haystack: str, needle: str, sa=None) -> bool:
+    """Substring search by binary search over the suffix array.
+
+    Each probe compares a length-bounded slice (sa[mid] .. sa[mid]+|needle|),
+    never the full suffix, so one probe costs O(|needle|) and a lookup is
+    O(|needle| log |haystack|). Pass a precomputed `sa` to amortize
+    construction across the pairs that share a document."""
     if not needle:
         return True
-    sa = _suffix_array(haystack)
+    if sa is None:
+        sa = _suffix_array(haystack)
+    m = len(needle)
     lo, hi = 0, len(sa)
     while lo < hi:
         mid = (lo + hi) // 2
-        if haystack[sa[mid] :][: len(needle)] < needle:
+        p = sa[mid]
+        if haystack[p : p + m] < needle:
             lo = mid + 1
         else:
             hi = mid
-    return lo < len(sa) and haystack[sa[lo] :].startswith(needle)
+    if lo >= len(sa):
+        return False
+    p = sa[lo]
+    return haystack[p : p + m] == needle
 
 
 def containment_pass(
@@ -261,8 +272,20 @@ def containment_pass(
 
     def _check(batches):
         for pdf in batches:
+            # One suffix array per distinct document per Arrow batch: docs
+            # recur across pairs (a hub transcript appears in many verified
+            # pairs), so cache by the string object. Construction dominates
+            # (O(n log^2 n)) -- the bounded-probe lookups are cheap.
+            sa_cache: dict[str, object] = {}
+
+            def _sa(s: str):
+                got = sa_cache.get(s)
+                if got is None:
+                    got = sa_cache[s] = _suffix_array(s)
+                return got
+
             cont = [
-                _sa_contains(ta, tb) or _sa_contains(tb, ta)
+                _sa_contains(ta, tb, _sa(ta)) or _sa_contains(tb, ta, _sa(tb))
                 for ta, tb in zip(pdf["_ta"], pdf["_tb"])
             ]
             out = pdf[cols].copy()

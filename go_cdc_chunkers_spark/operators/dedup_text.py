@@ -192,17 +192,22 @@ def simhash_pieces(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs_from_pieces(pieces: DataFrame, max_hamming: int = 12,
-                              pair_cap: int = 256) -> DataFrame:
+                              pair_cap: int = 256, n_hubs: int = 4) -> DataFrame:
     """(a, b, hamming) pairs sharing >= 1 simhash piece, hot buckets capped.
 
     Buckets of size <= pair_cap join pairwise (exact). Larger buckets emit a
-    *star* around the minimum member instead -- linear, not quadratic. At
-    corpus scale a 16-bit piece holds ~N/65536 docs plus pathological
-    boilerplate skew; the star preserves connectivity for the dominant hot
-    case (identical/near-identical simhashes, where every hub edge passes
-    the hamming filter) while bounding work. Pairwise edges between
-    non-hub members of a hot bucket that pass the filter only via a
-    *different* piece are still found through that piece's bucket."""
+    *multi-hub star* instead -- the n_hubs minimum-id members each connect to
+    every member (plus pairwise among the hubs) -- linear in bucket size, not
+    quadratic. At corpus scale a 16-bit piece holds ~N/65536 docs plus
+    pathological boilerplate skew; the star preserves component connectivity
+    for the dominant hot case (identical/near-identical simhashes). A single
+    min-id hub could be a hamming outlier whose edges all fail the <=
+    max_hamming filter, silently disconnecting the bucket; n_hubs > 1 makes
+    that require *every* hub to be an outlier. Pairwise edges between
+    non-hub members that pass the filter only via a *different* piece are
+    still found through that piece's bucket. Capping is a documented
+    recall trade -- use count_star_capped_buckets() to monitor how often it
+    fires, and simhash_pairs_guaranteed() when recall must be 1.0."""
     sized = pieces.withColumn(
         "_n", F.count("*").over(Window.partitionBy("piece_id", "piece"))
     )
@@ -219,13 +224,32 @@ def simhash_pairs_from_pieces(pieces: DataFrame, max_hamming: int = 12,
         .select("a", "b", "sa", "sb")
     )
 
-    hub = big.groupBy("piece_id", "piece").agg(
-        F.min("clip_id").alias("a"), F.min_by("simhash", "clip_id").alias("sa")
+    # n_hubs smallest ids per hot bucket, computed as a grouped sorted-slice
+    # (no per-bucket window over the full big set): tiny relation, broadcast
+    # back onto the bucket members.
+    hubs = (
+        big.groupBy("piece_id", "piece")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("clip_id", "simhash"))),
+                1, n_hubs,
+            ).alias("_hubs")
+        )
+        .select("piece_id", "piece", F.explode("_hubs").alias("_h"))
+        .select("piece_id", "piece",
+                F.col("_h.clip_id").alias("_hid"), F.col("_h.simhash").alias("_hsim"))
     )
     pairs_big = (
-        big.join(hub, ["piece_id", "piece"])
-        .filter(F.col("clip_id") != F.col("a"))
-        .select("a", F.col("clip_id").alias("b"), "sa", F.col("simhash").alias("sb"))
+        big.join(F.broadcast(hubs), ["piece_id", "piece"])
+        .filter(F.col("clip_id") != F.col("_hid"))
+        .select(
+            F.least("clip_id", "_hid").alias("a"),
+            F.greatest("clip_id", "_hid").alias("b"),
+            F.when(F.col("_hid") < F.col("clip_id"), F.col("_hsim"))
+            .otherwise(F.col("simhash")).alias("sa"),
+            F.when(F.col("_hid") < F.col("clip_id"), F.col("simhash"))
+            .otherwise(F.col("_hsim")).alias("sb"),
+        )
     )
 
     return (
@@ -233,6 +257,18 @@ def simhash_pairs_from_pieces(pieces: DataFrame, max_hamming: int = 12,
         .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def count_star_capped_buckets(pieces: DataFrame, pair_cap: int = 256) -> DataFrame:
+    """Monitoring relation for the star-cap recall trade: one row per
+    (piece_id, piece) bucket that exceeds pair_cap, with its size. Pipelines
+    should materialize this next to the pairs (plans/pipeline.py stages do)
+    so capping is observable, never silent."""
+    return (
+        pieces.groupBy("piece_id", "piece")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > pair_cap)
     )
 
 
@@ -244,4 +280,109 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
     return simhash_pairs_from_pieces(
         simhash_pieces(docs, text_col=text_col, id_col=id_col),
         max_hamming=max_hamming, pair_cap=pair_cap,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Guaranteed-recall SimHash (Manku/Jain/Sarma WWW'07 block-combination
+# scheme, relational formulation)
+# ---------------------------------------------------------------------------
+
+def _simhash_block_tables(max_hamming: int, blocks_per_key: int | None = None):
+    """(n_blocks, k, [(table_id, (block_idx,...)), ...], [block widths]).
+
+    Split the 64-bit fingerprint into B contiguous blocks and build one
+    bucket table per k-combination of blocks, keyed on those blocks'
+    concatenated values. A pair at hamming h <= d touches at most d blocks,
+    leaving >= B - d >= k blocks intact, so SOME table's key is shared:
+    recall is exactly 1.0 for hamming <= d (pigeonhole over combinations --
+    the multi-table construction of Manku et al., chosen relationally
+    instead of via sorted-prefix probes).
+
+    k trades table count against key width: k=1 is the plain (d+1)-piece
+    pigeonhole (few tables, narrow keys -> big buckets); k=2 gives
+    C(d+2, 2) tables with ~2x wider keys. Defaults: k=1 while pieces stay
+    >= 8 bits (d <= 7), else k=2."""
+    from itertools import combinations
+
+    d = int(max_hamming)
+    if d < 0 or d > 30:
+        raise ValueError(f"max_hamming must be in [0, 30], got {d}")
+    k = blocks_per_key if blocks_per_key is not None else (1 if d <= 7 else 2)
+    n_blocks = d + k
+    if n_blocks > 64:
+        raise ValueError("d + blocks_per_key must be <= 64")
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    tables = list(enumerate(combinations(range(n_blocks), k)))
+    return n_blocks, k, tables, widths
+
+
+def simhash_keys_guaranteed(sigs: DataFrame, max_hamming: int = 12,
+                            blocks_per_key: int | None = None) -> DataFrame:
+    """sigs(clip_id, simhash) -> (clip_id, simhash, table_id, key): one row
+    per (doc, table) with the table's block-combination key. C(B, k) rows
+    per doc -- 13 for d=12/k=1, 91 for d=12/k=2."""
+    _, _, tables, widths = _simhash_block_tables(max_hamming, blocks_per_key)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+
+    def block(i):
+        shifted = F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        if widths[i] >= 64:  # d=0, k=1: the single block IS the fingerprint
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    def key(combo):
+        acc = F.lit(0).cast("long")
+        for i in combo:
+            acc = F.shiftleft(acc, widths[i]).bitwiseOR(block(i))
+        return acc
+
+    return sigs.select(
+        "clip_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(tid).alias("table_id"), key(combo).alias("key"))
+            for tid, combo in tables
+        ])).alias("_t"),
+    ).select("clip_id", "simhash",
+             F.col("_t.table_id").alias("table_id"), F.col("_t.key").alias("key"))
+
+
+def simhash_pairs_guaranteed(docs: DataFrame, max_hamming: int = 12,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             blocks_per_key: int | None = None) -> DataFrame:
+    """(a, b, hamming) with GUARANTEED recall 1.0 for hamming <= max_hamming
+    (vs the default simhash_pairs' high-probability 4-piece banding, honest
+    about its recall trade above hamming 3).
+
+    Cost model at scale: C(B,k) explode per doc, then one bucket self-join
+    per table; expected bucket size N * C(B,k) / 2^keybits per table. The
+    guarantee forbids capping (a capped bucket could hide exactly the pair
+    the caller was promised), so boilerplate-heavy corpora with huge
+    identical-key buckets pay the quadratic corner -- that is inherent to
+    any exact scheme; run the default banded path first and reserve this
+    for bounded candidate sets or audits."""
+    from .signatures import simhash64
+
+    sigs = simhash64(docs, text_col=text_col, id_col=id_col)
+    return simhash_pairs_guaranteed_from_sigs(
+        sigs, max_hamming=max_hamming, blocks_per_key=blocks_per_key
+    )
+
+
+def simhash_pairs_guaranteed_from_sigs(sigs: DataFrame, max_hamming: int = 12,
+                                       blocks_per_key: int | None = None) -> DataFrame:
+    """Guaranteed-recall pairs from a precomputed sigs(clip_id, simhash)."""
+    keyed = simhash_keys_guaranteed(sigs, max_hamming, blocks_per_key)
+    la = keyed.select("table_id", "key", F.col("clip_id").alias("a"),
+                      F.col("simhash").alias("sa"))
+    lb = keyed.select("table_id", "key", F.col("clip_id").alias("b"),
+                      F.col("simhash").alias("sb"))
+    return (
+        la.join(lb, ["table_id", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

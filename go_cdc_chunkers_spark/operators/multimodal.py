@@ -270,7 +270,15 @@ def video_frame_sample(
                         "ffmpeg/pyav (not in this image); raw yuv420p/"
                         "gray8/rgb24 are sampled for real"
                     )
-                fsz = int(int(w) * int(h) * _PIXFMT_BPP[fmt])
+                w, h = int(w), int(h)
+                if fmt == "yuv420p" and (w % 2 or h % 2):
+                    # 4:2:0 chroma planes are (w/2)x(h/2); odd dims would
+                    # silently truncate w*h*1.5 and mis-slice every frame.
+                    raise ValueError(
+                        f"yuv420p requires even dimensions, got {w}x{h} "
+                        f"for item {iid!r}"
+                    )
+                fsz = int(w * h * _PIXFMT_BPP[fmt])
                 n_frames = len(raw) // fsz
                 for i in range(0, n_frames, every_n):
                     out["item_id"].append(iid)

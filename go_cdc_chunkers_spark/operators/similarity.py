@@ -262,18 +262,28 @@ def ivf_centroids(
     seed: int = 11,
 ) -> DataFrame:
     """(centroid_id, centroid array<double>) coarse quantizer. Seeds are a
-    deterministic pseudo-random sample (xxhash64 order -- at 10^12 rows use
-    TABLESAMPLE + local k-means on the driver instead of the global sort);
-    `iters` Lloyd steps refine them with cluster means computed from
-    scaled-integer sums (order-free, bit-deterministic)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-    cents = (
-        embeddings.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(
-            F.col("_rn").alias("centroid_id"),
+    deterministic pseudo-random sample: the n_centroids globally-smallest
+    rows by (xxhash64(id, seed), id), selected with orderBy().limit(), which
+    Catalyst plans as TakeOrderedAndProject -- a per-partition top-k followed
+    by a tiny driver-side merge of n_centroids rows per partition. No
+    single-partition sort of the full table (the round-2 scale-killer; plan
+    shape pinned in tests/test_plan_shapes.py). `iters` Lloyd steps refine
+    the seeds with cluster means computed from scaled-integer sums
+    (order-free, bit-deterministic)."""
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_ord"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
+        .orderBy("_ord", "_id")
+        .limit(n_centroids)
+    )
+    # row_number here windows over the n_centroids surviving rows only (a
+    # constant-size relation), not the corpus.
+    w = Window.orderBy("_ord", "_id")
+    cents = seeds.withColumn("_rn", F.row_number().over(w)).select(
+        F.col("_rn").alias("centroid_id"), "centroid"
     )
     for _ in range(iters):
         assign = ivf_assign(embeddings, cents, id_col, vec_col)

@@ -42,7 +42,13 @@ def _sessionize_fn(gap_s: int):
                     out.append((user_id, start, last, n))
                     start, last, n = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    # Late arrivals across micro-batches can deliver t < last
+                    # (sorting is per-batch only). The session end must never
+                    # move backwards -- otherwise a following in-order event
+                    # can falsely exceed gap_s and split the session -- and a
+                    # pre-start straggler within the gap widens the session
+                    # leftwards instead of corrupting its span.
+                    start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
         yield pd.DataFrame(out, columns=["user_id", "sess_start", "sess_end", "n_events"])

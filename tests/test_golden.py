@@ -114,3 +114,17 @@ def test_gorand_read_is_prefix_stable():
     # Read(64) must be a prefix of Read(1024) (same fresh Source(0) stream),
     # mirroring the harness's fresh rand.New per input.
     assert gorand.read_bytes(1024)[:64] == gorand.read_bytes(64)
+
+
+def test_regen_golden_tool_byte_identical():
+    """tools/regen_golden.py --check: the kernels alone re-emit the exact
+    fixture bytes (the reference's `-update` flow, golden_test.go:44)."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, str(Path(__file__).parent.parent / "tools" / "regen_golden.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr

@@ -290,7 +290,10 @@ def test_simhash_hot_bucket_star_cap(spark):
     capped = dedup_text.simhash_pairs_from_pieces(pieces, max_hamming=16, pair_cap=64)
     hot_edges = capped.filter((F.col("a") < n_hot) & (F.col("b") < n_hot))
     n_edges = hot_edges.count()
-    assert n_edges == n_hot - 1, n_edges  # star, not clique (19900)
+    # multi-hub star (n_hubs=4): members x hubs + hub-hub pairs -- linear in
+    # bucket size, never the 19900-edge clique
+    n_hubs = 4
+    assert n_edges == n_hubs * (n_hot - n_hubs) + n_hubs * (n_hubs - 1) // 2, n_edges
 
     # identical connectivity: all hot docs in one component either way
     verts = docs.select(F.col("doc_id").cast("string").alias("clip_id"))

@@ -134,3 +134,32 @@ def test_simhash_pairs_equi_join_only(spark):
     )
     p = plan(dedup_text.simhash_pairs(docs, max_hamming=16))
     assert "CartesianProduct" not in p
+
+
+def test_ivf_seed_selection_is_take_ordered(spark):
+    """IVF seeding must plan as TakeOrderedAndProject (per-partition top-k +
+    tiny merge), never a single-partition sort/window over the full
+    embeddings table -- the round-2 scale-killer. The only tolerated
+    single-partition Exchange is over the n_centroids surviving rows."""
+    import numpy as np
+
+    from go_cdc_chunkers_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+
+    cents = similarity.ivf_centroids(df, n_centroids=4, iters=0)
+    p = plan(cents)
+    assert "TakeOrderedAndProject" in p
+    # The full-table global Sort the old Window required must be gone: any
+    # Sort node in this plan may only sit above the 4-row take.
+    before_take = p.split("TakeOrderedAndProject")[-1]
+    assert "Exchange SinglePartition" not in before_take
+
+    got = cents.collect()
+    assert len(got) == 4
+    assert sorted(r.centroid_id for r in got) == [1, 2, 3, 4]

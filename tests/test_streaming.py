@@ -188,3 +188,49 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
                 last, n = t, n + 1
         want.update(sessions)  # final open session intentionally excluded
     assert got == want and len(got) > 0
+
+
+def test_streaming_sessionize_late_event_across_microbatches(spark, tmp_path):
+    """A late event delivered in a LATER micro-batch with t < last must not
+    move the open session's end backwards (which would let a following
+    in-order event falsely exceed gap_s and split the session)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from go_cdc_chunkers_spark.streaming.sessionize import streaming_sessionize
+
+    d = tmp_path / "late"
+    d.mkdir()
+    # batch 1: events at t=0 and t=1000; batch 2: LATE t=500, then t=2500.
+    # gap_s=1800: with the bug, the late 500 drags last back to 500 and the
+    # 2500 event splits (2500-500=2000>1800), emitting a bogus completed
+    # session. Correct behavior: all four events are ONE still-open session
+    # (2500-1000=1500<=1800) -> zero completed sessions emitted.
+    b1 = pd.DataFrame({"user_id": [7, 7], "t": [0, 1000]})
+    b2 = pd.DataFrame({"user_id": [7, 7], "t": [500, 2500]})
+    pq.write_table(pa.Table.from_pandas(b1), str(d / "f1.parquet"))
+    _time.sleep(1.1)
+    pq.write_table(pa.Table.from_pandas(b2), str(d / "f2.parquet"))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_late").collect()
+    assert got == [], f"late event split the open session: {got}"
