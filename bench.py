@@ -177,6 +177,22 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t, 3)
 
+    # Edit-robustness sweep (cmd/cdc/resync.go headline quality story):
+    # shared% of original chunk digests after N sample insertions per clip.
+    # Monotone decay is asserted in tests/test_entry_contract.py; the curve
+    # itself is the bench evidence.
+    t = time.time()
+    sweep = sorted(
+        EQ.QUERIES["cdc_resync_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["n_edits"],
+    )
+    timings["cdc_resync_sweep"] = round(time.time() - t, 3)
+    for r in sweep:
+        extras[f"resync_shared_pct_n{r['n_edits']}"] = round(r["shared_pct"], 4)
+    extras["resync_monotone"] = all(
+        b["shared_pct"] < a["shared_pct"] for a, b in zip(sweep, sweep[1:])
+    )
+
     return timings, extras
 
 

@@ -281,6 +281,82 @@ FROM c CROSS JOIN tt
 """
 
 
+_RESYNC_SWEEP_EDITS = (1, 4, 16, 64)
+
+
+def cdc_resync_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-robustness SWEEP (cmd/cdc/resync.go headline story): shared% of
+    the original corpus's chunk digests after exactly N in-place sample
+    insertions per clip, N in {1,4,16,64}. The CDC resync property makes the
+    decay graceful (each edit invalidates O(1) chunks, not the whole
+    stream); monotone non-increase is asserted in tests and the curve is
+    recorded as bench extras. Dedicated 2-5 s base clips (~60-160 chunks at
+    the 1 KB geometry) so the N=64 point still has signal."""
+    rows, _ = clips_src.generate_clips(
+        n_base=24, dup_frac=0.0, near_frac=0.0, n_const=0, seed=777,
+        min_ms=2000, max_ms=5000)
+    opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
+
+    def corpus_df(tagged_rows, corpus: str, n_edits: int) -> DataFrame:
+        df = spark.createDataFrame(
+            [(r_id, bytearray(b)) for r_id, b in tagged_rows],
+            schema="clip_id string, bytes binary",
+        )
+        return (
+            chunking.chunk_clips(df, "fastcdc-v1.0.0", opts)
+            .withColumn("corpus", F.lit(corpus))
+            .withColumn("n_edits", F.lit(n_edits).cast("long"))
+        )
+
+    base = [(r["clip_id"], r["bytes"]) for r in rows]
+    out = corpus_df(base, "orig", 0)
+    for n in _RESYNC_SWEEP_EDITS:
+        edited = [
+            (cid, clips_src.edit_pcm_bytes(b, n, seed=100_000 * n + i))
+            for i, (cid, b) in enumerate(base)
+        ]
+        out = out.unionByName(corpus_df(edited, "edited", n))
+    ch = _materialize(
+        spark, out.select("corpus", "n_edits", "chunk_hash", "length"),
+        "cdc_resync_sweep")
+
+    orig_hashes = ch.filter(F.col("corpus") == "orig").select("chunk_hash").distinct()
+    edited = ch.filter(F.col("corpus") == "edited")
+    total = edited.groupBy("n_edits").agg(F.sum("length").alias("total_bytes"))
+    covered = (
+        edited.join(orig_hashes, "chunk_hash", "left_semi")
+        .groupBy("n_edits")
+        .agg(F.sum("length").alias("shared_bytes"))
+    )
+    return (
+        total.join(covered, "n_edits", "left")
+        .select(
+            "n_edits",
+            F.coalesce(F.col("shared_bytes"), F.lit(0)).cast("long").alias("shared_bytes"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            (F.coalesce(F.col("shared_bytes"), F.lit(0)) / F.col("total_bytes")
+             ).alias("shared_pct"),
+        )
+        .orderBy("n_edits")
+    )
+
+
+CDC_RESYNC_SWEEP_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('cdc_resync_sweep')}),
+e AS (SELECT * FROM t WHERE corpus = 'edited'),
+c AS (SELECT n_edits, coalesce(sum(length), 0)::BIGINT AS shared_bytes FROM e
+      WHERE chunk_hash IN (SELECT DISTINCT chunk_hash FROM t WHERE corpus = 'orig')
+      GROUP BY n_edits),
+tt AS (SELECT n_edits, sum(length)::BIGINT AS total_bytes FROM e GROUP BY n_edits)
+SELECT tt.n_edits::BIGINT AS n_edits,
+       coalesce(c.shared_bytes, 0)::BIGINT AS shared_bytes,
+       tt.total_bytes,
+       coalesce(c.shared_bytes, 0) / tt.total_bytes AS shared_pct
+FROM tt LEFT JOIN c USING (n_edits)
+ORDER BY n_edits
+"""
+
+
 def cdc_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 (cmd/cdcplot/main.go:313-339): dedup ratio at avg sizes 1K/4K."""
     from .cdc.opts import ChunkerOpts as _O
@@ -1480,6 +1556,7 @@ QUERIES = {
     "cdc_distribution": cdc_distribution,
     "cdc_compare_regression_gate": cdc_compare_regression_gate,
     "cdc_resync_shared": cdc_resync_shared,
+    "cdc_resync_sweep": cdc_resync_sweep,
     "cdc_dedup_sweep": cdc_dedup_sweep,
     "cdc_length_histogram": cdc_length_histogram,
     "cdc_length_cdf": cdc_length_cdf,
@@ -1522,6 +1599,7 @@ ORACLES = {
     "cdc_distribution": CDC_DISTRIBUTION_SQL,
     "cdc_compare_regression_gate": CDC_COMPARE_SQL,
     "cdc_resync_shared": CDC_RESYNC_SQL,
+    "cdc_resync_sweep": CDC_RESYNC_SWEEP_SQL,
     "cdc_dedup_sweep": CDC_SWEEP_SQL,
     "cdc_length_histogram": CDC_HISTOGRAM_SQL,
     "cdc_length_cdf": CDC_CDF_SQL,

@@ -144,6 +144,20 @@ class Pipeline:
             ),
         )
         sim = self.stage("simhash_text", lambda: signatures.simhash64(clips))
+        return self.cluster(clips, sig_pcm, sig_text, sim)
+
+    def cluster(
+        self,
+        clips: DataFrame,
+        sig_pcm: DataFrame,
+        sig_text: DataFrame,
+        sim: DataFrame,
+    ) -> DataFrame:
+        """Clustering tail (P5-P10) from precomputed signatures. Entry point
+        for the lambda split (streaming/lambda_arch.py): the speed layer
+        appends signatures continuously; the scheduled batch layer calls
+        this over the accumulated store."""
+        cfg = self.cfg
 
         def build_bands():
             bp = signatures.lsh_bands(sig_pcm, cfg.bands, cfg.rows_per_band, src="pcm")

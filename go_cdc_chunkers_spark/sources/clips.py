@@ -57,6 +57,18 @@ def _insert_samples(rng, pcm: np.ndarray, n_edits: int) -> np.ndarray:
     return out
 
 
+def edit_pcm_bytes(raw: bytes, n_edits: int, seed: int) -> bytes:
+    """Apply exactly `n_edits` seeded random sample insertions to a
+    pcm_s16le byte string (the resync.go:134-147 edit model). Deterministic
+    in (raw, n_edits, seed); used by the edit-robustness sweep
+    (entry_queries.cdc_resync_sweep) to grade shared-bytes decay vs edit
+    count."""
+    rng = np.random.default_rng(seed)
+    n = len(raw) - (len(raw) % 2)
+    pcm = np.frombuffer(raw[:n], dtype="<i2")
+    return _insert_samples(rng, pcm, n_edits).tobytes()
+
+
 def _jitter(rng, pcm: np.ndarray) -> np.ndarray:
     """Amplitude jitter below the SNR >= 30 dB invariant: y = x*(1+e),
     |e| <= 0.03 => noise power <= 1e-3 x signal power (SNR ~ 30.5 dB)."""

@@ -1,0 +1,124 @@
+"""Lambda split: streaming signature ingest + scheduled batch clustering.
+
+The speed layer (`ingest_signatures_stream`) consumes the clips stream and
+computes every per-clip stage -- chunks, PCM MinHash, transcript MinHash,
+SimHash -- inside `foreachBatch`. All of these aggregate only WITHIN one
+clip, and a clip is exactly one input row, so every per-clip aggregate is
+complete inside the micro-batch that carries the row: the operators are the
+*same functions* the batch pipeline uses, and their outputs are identical
+to a batch run over the same clips (pinned by
+tests/test_streaming.py::test_lambda_stream_neardup_clustered).
+
+Each micro-batch lands under `store/<table>/batch=<id>/` with
+mode("overwrite") on that directory, so a retried batch id rewrites the
+same files instead of duplicating rows -- exactly-once at rest over the
+at-least-once foreachBatch contract. On a real cluster each append is an
+Iceberg transactional append (sources/iceberg.py gates the format) and the
+batch id lands in the snapshot's summary for the same idempotence.
+
+The batch layer (`cluster_store`) is the scheduled job: read the
+accumulated store, run the cross-clip stages (band join -> candidates ->
+verify -> containment -> connected components) via Pipeline.cluster() in a
+fresh workdir per run. Cross-clip state (candidate buckets, component
+labels) deliberately never lives in streaming state: at 10^12 clips the
+band index is far beyond any state-store budget, and CC is iterative --
+both are batch shapes. The stream keeps ingest latency low; the batch job
+bounds cluster staleness at its schedule interval.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import chunking, signatures
+from ..plans.pipeline import Pipeline, PipelineConfig
+from .ingest import stream_clips
+
+CLIP_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+STORE_TABLES = ("clips", "chunks_pcm", "sig_pcm", "sig_text", "simhash_text")
+
+
+def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(store_dir, table, f"batch={batch_id}")
+    )
+
+
+def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None):
+    """The foreachBatch body: per-clip stages -> idempotent store appends."""
+    cfg = cfg or PipelineConfig()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            _append(batch_df.select(*CLIP_COLS), store_dir, "clips", batch_id)
+            chunks = chunking.chunk_clips(
+                batch_df, cfg.algorithm, cfg.chunk_opts
+            ).persist()
+            try:
+                _append(chunks, store_dir, "chunks_pcm", batch_id)
+                _append(
+                    signatures.minhash_signatures(chunks, k=cfg.k),
+                    store_dir, "sig_pcm", batch_id,
+                )
+            finally:
+                chunks.unpersist()
+            _append(
+                signatures.minhash_signatures(
+                    signatures.char_shingles(batch_df, n=cfg.shingle_n),
+                    item_col="shingle",
+                    k=cfg.k,
+                ),
+                store_dir, "sig_text", batch_id,
+            )
+            _append(signatures.simhash64(batch_df), store_dir, "simhash_text", batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return _sink
+
+
+def ingest_signatures_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """Start the speed layer. The checkpoint lives inside the store, so a
+    restarted stream resumes after the last committed batch and re-ingests
+    nothing (and a batch replayed from an uncommitted epoch overwrites its
+    own directory -- see module docstring). Returns the StreamingQuery."""
+    return (
+        stream_clips(spark, src_path, max_files_per_trigger)
+        .writeStream.foreachBatch(make_signature_sink(store_dir, cfg))
+        .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
+        .start()
+    )
+
+
+def read_store(spark: SparkSession, store_dir: str, table: str) -> DataFrame:
+    """Accumulated view of one store table across all landed batches. The
+    batch=<id> directory name is a partition column to Spark; drop it so the
+    schema equals the batch pipeline's."""
+    return spark.read.parquet(os.path.join(store_dir, table)).drop("batch")
+
+
+def cluster_store(
+    spark: SparkSession,
+    store_dir: str,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """The scheduled batch layer: cluster everything ingested so far.
+    `workdir` should be fresh per run (stage resume inside one run still
+    applies if the job is killed and restarted with the same workdir)."""
+    pipe = Pipeline(spark, workdir, cfg)
+    return pipe.cluster(
+        read_store(spark, store_dir, "clips"),
+        read_store(spark, store_dir, "sig_pcm"),
+        read_store(spark, store_dir, "sig_text"),
+        read_store(spark, store_dir, "simhash_text"),
+    )

@@ -52,6 +52,20 @@ def test_all_queries_run(spark):
         assert df.count() == n, name
 
 
+def test_resync_sweep_monotone(spark):
+    """Edit-robustness curve (resync.go headline): shared% must decay
+    monotonically with edit count and stay high at 1 edit (each edit
+    invalidates O(1) chunks of ~100 per clip)."""
+    df = entry_mod.queries()["cdc_resync_sweep"](spark, SF_DIR)
+    rows = sorted(df.collect(), key=lambda r: r["n_edits"])
+    assert [r["n_edits"] for r in rows] == [1, 4, 16, 64]
+    pcts = [r["shared_pct"] for r in rows]
+    assert all(0.0 <= p <= 1.0 for p in pcts)
+    assert pcts[0] >= 0.9, pcts
+    for a, b in zip(pcts, pcts[1:]):
+        assert b < a, pcts
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_oracle_parity(spark, name):
     fn = entry_mod.queries()[name]

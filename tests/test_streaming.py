@@ -234,3 +234,80 @@ def test_streaming_sessionize_late_event_across_microbatches(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT * FROM sess_late").collect()
     assert got == [], f"late event split the open session: {got}"
+
+
+def _write_clip_rows(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "clip_id": pa.array([r["clip_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r["sr_hz"] for r in rows], pa.int32()),
+        "dur_ms": pa.array([r["dur_ms"] for r in rows], pa.int32()),
+        "codec": pa.array([r["codec"] for r in rows], pa.string()),
+        "transcript": pa.array([r["transcript"] for r in rows], pa.string()),
+    })
+    pq.write_table(table, path)
+
+
+def test_lambda_stream_neardup_clustered(spark, tmp_path):
+    """Lambda split end-to-end (streaming/lambda_arch.py): signatures
+    computed on the stream land in the store; the scheduled batch job
+    clusters the accumulated store; a near-dup arriving on the stream
+    AFTER the first batch run is clustered with its base by the next one.
+    Also exercises checkpoint resume: the second stream instance must only
+    ingest the new file."""
+    import time as _time
+
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        cluster_store, ingest_signatures_stream, read_store)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+
+    rows, truth = clips_src.generate_clips(
+        n_base=16, dup_frac=0.25, near_frac=0.0, n_const=0, seed=9)
+    _write_clip_rows(str(src / "f1.parquet"), rows[:10])
+    _time.sleep(1.1)
+    _write_clip_rows(str(src / "f2.parquet"), rows[10:])
+
+    q = ingest_signatures_stream(spark, str(src), store, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert read_store(spark, store, "clips").count() == len(rows)
+
+    comps1 = cluster_store(spark, store, str(tmp_path / "run1")).collect()
+    label1 = {r.clip_id: r.component_id for r in comps1}
+    # exact dups from ground truth must already cluster in run 1
+    by_group = {}
+    for cid, g in truth.items():
+        by_group.setdefault(g, []).append(cid)
+    n_multi = 0
+    for g, cids in by_group.items():
+        if len(cids) > 1:
+            n_multi += 1
+            assert len({label1[c] for c in cids}) == 1, (g, cids)
+    assert n_multi >= 2
+
+    # a NEW near-dup of rows[0] arrives on the stream
+    base = rows[0]
+    nd = dict(
+        clip_id="stream-near-dup",
+        bytes=clips_src.edit_pcm_bytes(base["bytes"], 4, seed=123),
+        sr_hz=base["sr_hz"], dur_ms=base["dur_ms"], codec=base["codec"],
+        transcript=base["transcript"],
+    )
+    _time.sleep(1.1)
+    _write_clip_rows(str(src / "f3.parquet"), [nd])
+
+    q2 = ingest_signatures_stream(spark, str(src), store, max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+    # checkpoint resume: exactly one new clip landed, nothing re-ingested
+    assert read_store(spark, store, "clips").count() == len(rows) + 1
+
+    comps2 = cluster_store(spark, store, str(tmp_path / "run2")).collect()
+    label2 = {r.clip_id: r.component_id for r in comps2}
+    assert label2["stream-near-dup"] == label2[base["clip_id"]]
