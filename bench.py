@@ -193,7 +193,87 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
         b["shared_pct"] < a["shared_pct"] for a, b in zip(sweep, sweep[1:])
     )
 
+    # Candidate-stage skew evidence (adversarial 20%-constant corpus, 8k
+    # clips): star fallback vs uncapped pairwise, hot-bucket geometry.
+    # `python bench.py --skew` additionally measures the growth curve.
+    t = time.time()
+    extras.update(skew_evidence(spark, cpus))
+    timings["skew_candidate_stage"] = round(time.time() - t, 3)
+
     return timings, extras
+
+
+def ensure_skew_corpus(n_base: int, n_const: int) -> tuple[str, int]:
+    """Adversarial 20%-constant-PCM corpus (FIXTURES.md F5 at volume):
+    constant clips collapse to one MinHash signature per fill group, so
+    every band maps each group to ONE hot bucket. Cached parquet."""
+    from go_cdc_chunkers_spark.sources import clips as clips_src
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"skew_{n_base}_{n_const}.parquet")
+    if not os.path.exists(path):
+        clips_src.write_clips_parquet(
+            path, n_base=n_base, dup_frac=0.0, near_frac=0.0, n_const=n_const,
+            seed=1337, min_ms=500, max_ms=2000)
+    return path, n_base + n_const
+
+
+def skew_evidence(spark, cpus: int, n_base: int | None = None,
+                  n_const: int | None = None) -> dict:
+    """VERDICT r2 item 8 / SCALE.md P7 evidence: candidate-stage skew on an
+    adversarial corpus (default 8,000 clips, 20% constant PCM in two
+    identical-signature groups). Reports the hot-bucket geometry, the
+    pairs-per-bucket work distribution (the quadratic driver of task-time
+    skew: one shuffle task owns its bucket's m(m-1)/2 pairs), and measured
+    wall-clock of the candidate stage with the star fallback (pair_cap=64,
+    the shipped path) vs uncapped pairwise joins. `--skew` runs this at two
+    corpus sizes: star-edge count grows linearly in bucket size while the
+    uncapped pair count grows quadratically -- the measured growth curve is
+    the 100x-scale-up argument (SCALE.md P7)."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    from go_cdc_chunkers_spark.operators import candidates as cand_ops
+    from go_cdc_chunkers_spark.operators import chunking, signatures
+
+    if n_base is None:
+        n_base = int(os.environ.get("SPARK_GRAFT_SKEW_CLIPS", "6400"))
+    if n_const is None:
+        n_const = int(os.environ.get("SPARK_GRAFT_SKEW_CONST", str(n_base // 4)))
+    path, n_clips = ensure_skew_corpus(n_base, n_const)
+
+    clips = spark.read.parquet(path).repartition(cpus * 2)
+    chunks = chunking.chunk_clips(
+        clips, "fastcdc-v1.0.0",
+        ChunkerOpts(min_size=256, normal_size=1024, max_size=8192))
+    sig = signatures.minhash_signatures(chunks, k=128)
+    bands = signatures.lsh_bands(sig, 32, 4, src="pcm").persist()
+    bands.count()
+
+    ev: dict = {"skew_n_clips": n_clips, "skew_const_frac": round(n_const / n_clips, 3)}
+    bucket_sizes = bands.groupBy("band_id", "band_hash").count()
+    stats = bucket_sizes.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile_approx(count, 0.5)").alias("med"),
+        F.sum(F.expr("count*(count-1)/2")).cast("long").alias("pairs_uncapped_total"),
+        F.max(F.expr("count*(count-1)/2")).cast("long").alias("pairs_hot_bucket"),
+    ).collect()[0]
+    ev["skew_bucket_max"] = int(stats["mx"])
+    ev["skew_bucket_median"] = int(stats["med"])
+    ev["skew_pairs_hot_bucket"] = int(stats["pairs_hot_bucket"])
+    ev["skew_pairs_total_uncapped"] = int(stats["pairs_uncapped_total"])
+
+    for mode, cap in (("capped", 64), ("uncapped", 1 << 30)):
+        t = time.time()
+        n = cand_ops.candidate_pairs(
+            bands, pair_cap=cap, shuffle_partitions=cpus * 2
+        ).count()
+        ev[f"skew_candidates_sec_{mode}"] = round(time.time() - t, 3)
+        ev[f"skew_candidates_{mode}"] = n
+    bands.unpersist()
+    ev["skew_speedup_star_vs_uncapped"] = round(
+        ev["skew_candidates_sec_uncapped"] / ev["skew_candidates_sec_capped"], 2)
+    return ev
 
 
 def one_session(cpus: int, sf_dir: str, n_base: int, replicate: int, app: str):
@@ -351,6 +431,27 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-scale":
         res = pipeline_scale_run(cpus)
         print(json.dumps(res))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--skew":
+        from go_cdc_chunkers_spark.session import get_spark
+
+        spark = get_spark(app="bench-skew", cpus=cpus, shuffle_partitions=max(cpus, 8))
+        try:
+            points = [skew_evidence(spark, cpus, nb, nb // 4)
+                      for nb in (6400, 12800)]
+            print(json.dumps({
+                "metric": "candidate_stage_skew",
+                "points": points,
+                "uncapped_pair_growth": round(
+                    points[1]["skew_pairs_total_uncapped"]
+                    / points[0]["skew_pairs_total_uncapped"], 2),
+                "star_edge_growth": round(
+                    points[1]["skew_candidates_capped"]
+                    / points[0]["skew_candidates_capped"], 2),
+            }))
+        finally:
+            spark.stop()
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling":
