@@ -1549,6 +1549,55 @@ FROM {_mat('cdc_bigfile_whole')}
 """
 
 
+# ---------------------------------------------------------------------------
+# Spectral landmark fingerprints (operators/audio_fp.py, the published
+# constellation method): the audio-native near-dup channel. The UDF half
+# (FFT peak landmarks) is materialized; canonicalization, stop-hash
+# pruning, the hash equi-join, offset-histogram alignment, and scoring are
+# ALL recomputed relationally by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs via spectral peak-landmark fingerprints over
+    the deterministic chord-clips fixture. Recovers amplitude-jittered
+    variants (every PCM byte differs -> chunk MinHash is blind to them;
+    sources/clips.py documents the limitation) as well as sample-insertion
+    variants. Landmarks survive both: top-k magnitude peaks are invariant
+    under global scaling, and hop >> inserted samples keeps frame offsets
+    aligned."""
+    from .operators import audio_fp
+
+    rows, _truth, _kinds = clips_src.generate_chord_clips()
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"])) for r in rows],
+        schema="clip_id string, bytes binary",
+    )
+    mat = _materialize(spark, audio_fp.spectral_fingerprints(df), "audio_fp")
+    return audio_fp.fingerprint_pairs(mat).orderBy("a", "b")
+
+
+AUDIO_FP_SQL = f"""
+WITH raw AS (SELECT * FROM {_mat('audio_fp')}),
+fp AS (SELECT clip_id, hash, min(t) AS t FROM raw GROUP BY clip_id, hash),
+keep AS (SELECT hash FROM (SELECT hash, count(DISTINCT clip_id) AS d
+                           FROM fp GROUP BY hash) WHERE d <= 32),
+p AS (SELECT * FROM fp WHERE hash IN (SELECT hash FROM keep)),
+sz AS (SELECT clip_id, count(*)::BIGINT AS n_fp FROM p GROUP BY clip_id),
+po AS (SELECT x.clip_id AS a, y.clip_id AS b, x.t - y.t AS off,
+              count(*)::BIGINT AS c
+       FROM p x JOIN p y USING (hash) WHERE x.clip_id < y.clip_id
+       GROUP BY x.clip_id, y.clip_id, x.t - y.t),
+best AS (SELECT a, b, max(c)::BIGINT AS aligned_matches FROM po GROUP BY a, b)
+SELECT best.a, best.b, aligned_matches,
+       aligned_matches / least(sa.n_fp, sb.n_fp) AS match_frac
+FROM best JOIN sz sa ON sa.clip_id = best.a
+          JOIN sz sb ON sb.clip_id = best.b
+WHERE aligned_matches >= 8
+  AND aligned_matches / least(sa.n_fp, sb.n_fp) >= 0.25
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -1566,6 +1615,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "doc_simhash_pairs": doc_simhash_pairs,
     "audio_frame_energy": audio_frame_energy,
+    "audio_fp_neardup": audio_fp_neardup,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
     "doc_length_stats": doc_length_stats,
@@ -1608,6 +1658,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_SQL,
     "audio_frame_energy": AUDIO_FRAME_SQL,
+    "audio_fp_neardup": AUDIO_FP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,

@@ -176,6 +176,75 @@ def generate_clips(
     return rows, truth
 
 
+def generate_chord_clips(
+    n_base: int = 40,
+    dup_frac: float = 0.2,
+    jitter_frac: float = 0.2,
+    insert_frac: float = 0.2,
+    seed: int = 4242,
+    sr: int = 16000,
+    min_ms: int = 1000,
+    max_ms: int = 3000,
+    n_tones: int = 4,
+    n_edits: int = 16,
+):
+    """Multi-tone ("chord") clips fixture for the spectral-fingerprint
+    channel (operators/audio_fp.py): each base clip is a sum of `n_tones`
+    random sines + low noise, so distinct bases share almost no spectral
+    landmarks while every derived variant keeps its base's constellation.
+    Three variant kinds, each tagged in the returned `kinds` dict:
+      - exact: verbatim copy;
+      - jitter: y = x*(1+e), |e| <= 0.03 -- perturbs EVERY byte (the
+        CDC-chunk-MinHash-blind case audio_fp exists for);
+      - insert: `n_edits` seeded sample insertions (the CDC-friendly case;
+        spectral landmarks survive because hop >> n_edits samples).
+    Returns (rows, truth, kinds): truth maps clip_id -> base index, kinds
+    maps variant clip_id -> 'exact' | 'jitter' | 'insert'."""
+    rng = np.random.default_rng(seed)
+    rows, truth, kinds = [], {}, {}
+    base_pcm = []
+    for i in range(n_base):
+        dur_ms = int(rng.integers(min_ms, max_ms))
+        n_samples = sr * dur_ms // 1000
+        t = np.arange(n_samples, dtype=np.float64) / sr
+        x = np.zeros(n_samples)
+        for _ in range(n_tones):
+            freq = float(rng.uniform(100, 3500))
+            x += (0.5 / n_tones) * np.sin(2 * np.pi * freq * t)
+        x += 0.02 * rng.standard_normal(n_samples)
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        base_pcm.append(pcm)
+        clip_id = f"chord-{i:08d}"
+        rows.append(dict(
+            clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr, dur_ms=dur_ms,
+            codec="pcm_s16le",
+            transcript=" ".join(WORDS[int(rng.integers(0, len(WORDS)))]
+                                for _ in range(8)),
+        ))
+        truth[clip_id] = i
+
+    next_id = n_base
+    for kind, frac in (("exact", dup_frac), ("jitter", jitter_frac),
+                       ("insert", insert_frac)):
+        for _ in range(int(n_base * frac)):
+            src = int(rng.integers(0, n_base))
+            pcm = base_pcm[src]
+            if kind == "jitter":
+                pcm = _jitter(rng, pcm)
+            elif kind == "insert":
+                pcm = _insert_samples(rng, pcm, n_edits)
+            clip_id = f"chord-{next_id:08d}"
+            next_id += 1
+            rows.append(dict(
+                clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=sr,
+                dur_ms=len(pcm) * 1000 // sr, codec="pcm_s16le",
+                transcript=rows[src]["transcript"],
+            ))
+            truth[clip_id] = src
+            kinds[clip_id] = kind
+    return rows, truth, kinds
+
+
 def write_clips_parquet(path: str, truth_path: str | None = None, **kw) -> int:
     """Materialize the synthetic table as parquet (pyarrow; no Spark needed).
     Returns the row count."""

@@ -1,0 +1,98 @@
+"""Spectral landmark fingerprints (operators/audio_fp.py): recall per
+variant kind, precision vs ground truth, the channel-complementarity story
+(chunk MinHash is blind to amplitude jitter; audio_fp is not), and
+determinism/scale-invariance of the landmark extraction."""
+
+import numpy as np
+import pytest
+
+from go_cdc_chunkers_spark.operators import audio_fp
+from go_cdc_chunkers_spark.sources import clips as clips_src
+
+
+@pytest.fixture(scope="module")
+def chord_corpus():
+    return clips_src.generate_chord_clips(
+        n_base=12, dup_frac=0.25, jitter_frac=0.25, insert_frac=0.25, seed=31)
+
+
+def _clips_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"])) for r in rows],
+        schema="clip_id string, bytes binary",
+    )
+
+
+def test_recall_and_precision_vs_truth(spark, chord_corpus):
+    rows, truth, kinds = chord_corpus
+    fps = audio_fp.spectral_fingerprints(_clips_df(spark, rows))
+    got = {(r.a, r.b) for r in audio_fp.fingerprint_pairs(fps).collect()}
+
+    # recall: every variant must pair with its base, for EVERY kind
+    # (exact, insert, and the CDC-blind jitter kind)
+    missed = {}
+    for cid, kind in kinds.items():
+        base = f"chord-{truth[cid]:08d}"
+        pair = (min(base, cid), max(base, cid))
+        if pair not in got:
+            missed.setdefault(kind, []).append(pair)
+    assert not missed, missed
+
+    # precision: every reported pair must be within one truth group
+    for a, b in got:
+        assert truth[a] == truth[b], (a, b)
+
+
+def test_chunk_minhash_blind_to_jitter_audio_fp_not(spark):
+    """The complementarity story: y = x*(1+e) perturbs every PCM byte, so
+    the chunk-digest channel produces NO candidate for the jittered pair;
+    the spectral channel recovers it."""
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    from go_cdc_chunkers_spark.operators import candidates, chunking, signatures
+
+    rows, truth, kinds = clips_src.generate_chord_clips(
+        n_base=6, dup_frac=0.0, jitter_frac=0.34, insert_frac=0.0, seed=77)
+    jitter_pairs = {
+        (min(f"chord-{truth[c]:08d}", c), max(f"chord-{truth[c]:08d}", c))
+        for c, k in kinds.items() if k == "jitter"
+    }
+    assert jitter_pairs
+
+    df = _clips_df(spark, rows)
+    chunks = chunking.chunk_clips(
+        df, "fastcdc-v1.0.0", ChunkerOpts(min_size=64, normal_size=256, max_size=2048))
+    bands = signatures.lsh_bands(
+        signatures.minhash_signatures(chunks, k=128), 32, 4, src="pcm")
+    cdc_cands = {(r.a, r.b) for r in candidates.candidate_pairs(bands).collect()}
+    assert not (cdc_cands & jitter_pairs), "jitter unexpectedly CDC-visible"
+
+    fp_pairs = {
+        (r.a, r.b)
+        for r in audio_fp.fingerprint_pairs(
+            audio_fp.spectral_fingerprints(df)).collect()
+    }
+    assert jitter_pairs <= fp_pairs, jitter_pairs - fp_pairs
+
+
+def test_landmarks_deterministic_and_scale_invariant():
+    rng = np.random.default_rng(5)
+    t = np.arange(32000) / 16000.0
+    x = sum(0.12 * np.sin(2 * np.pi * f * t) for f in (440.0, 905.0, 1764.0, 2222.0))
+    x = x + 0.02 * rng.standard_normal(len(t))
+    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+
+    h1, t1 = audio_fp.clip_landmarks(pcm)
+    h2, t2 = audio_fp.clip_landmarks(pcm)
+    assert np.array_equal(h1, h2) and np.array_equal(t1, t2)
+
+    # global amplitude scaling: top-k peak bins are invariant, so the
+    # landmark hash SETS overlap almost completely (ties at the noise
+    # floor may flip an occasional 4th peak)
+    scaled = np.clip(pcm.astype(np.float64) * 0.93, -32768, 32767).astype("<i2")
+    h3, _ = audio_fp.clip_landmarks(scaled)
+    inter = len(set(h1.tolist()) & set(h3.tolist()))
+    assert inter / len(set(h1.tolist())) > 0.9
+
+    # empty / shorter-than-frame input yields no landmarks
+    assert audio_fp.clip_landmarks(np.empty(0, np.int16))[0].size == 0
+    assert audio_fp.clip_landmarks(np.zeros(100, np.int16))[0].size == 0

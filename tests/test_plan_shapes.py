@@ -163,3 +163,27 @@ def test_ivf_seed_selection_is_take_ordered(spark):
     got = cents.collect()
     assert len(got) == 4
     assert sorted(r.centroid_id for r in got) == [1, 2, 3, 4]
+
+
+def test_audio_fp_pairs_equi_join_only(spark, tmp_path):
+    """Spectral-fingerprint matching in its contract usage (fingerprints
+    materialized at the stage boundary): exactly one MapInPandas in the
+    fingerprint stage, and the matching plan is pure JVM equi-joins --
+    zero Python stages, never a CartesianProduct."""
+    from go_cdc_chunkers_spark.operators import audio_fp
+    from go_cdc_chunkers_spark.sources import clips as clips_src
+
+    rows, _t, _k = clips_src.generate_chord_clips(
+        n_base=4, dup_frac=0.25, jitter_frac=0.0, insert_frac=0.0, seed=3)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"])) for r in rows],
+        "clip_id string, bytes binary",
+    )
+    fps = audio_fp.spectral_fingerprints(df)
+    assert plan(fps).count("MapInPandas") == 1
+
+    fps.write.mode("overwrite").parquet(str(tmp_path / "fps"))
+    pairs = audio_fp.fingerprint_pairs(spark.read.parquet(str(tmp_path / "fps")))
+    p = plan(pairs)
+    assert "CartesianProduct" not in p
+    assert "MapInPandas" not in p and "Python" not in p
