@@ -9,8 +9,10 @@ parquet with an idempotent resume contract):
     +--P6--> simhash ---------------------------------------+---P8--> verified
     |                                                                  |
     +--------------------------------------------------P9--> containment
-                                                                       |
-  components <--P10-- edges(is_dup) <----------------------------------+
+    |                                                                  |
+    +--(opt)--> audio_fp --> audio_fp_pairs -------+                   |
+                                                   v                   v
+  components <--P10-- edges(is_dup | containment | spectral) <---------+
 
 Resume (north_rule): every stage checks for its completed output (parquet
 dir with Spark's _SUCCESS marker) before recomputing, so a killed run
@@ -58,6 +60,17 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     hamming_threshold: int = 8
     band_partitions: int | None = None
+    # Third evidence channel: spectral landmark fingerprints
+    # (operators/audio_fp.py) -- recovers amplitude-perturbed near-dups
+    # that chunk digests are blind to even when the transcript channel has
+    # nothing to offer. Off by default: it is the right channel for real
+    # (non-stationary) audio, but spectrally degenerate content -- e.g.
+    # single-tone synthetic fixtures where unrelated clips share their one
+    # dominant bin -- can alias distinct clips into one constellation.
+    # tests/test_audio_pipeline.py runs the end-to-end chord-corpus proof.
+    use_audio_fp: bool = False
+    audio_fp_min_frac: float = 0.25
+    audio_fp_min_matches: int = 8
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -144,7 +157,24 @@ class Pipeline:
             ),
         )
         sim = self.stage("simhash_text", lambda: signatures.simhash64(clips))
-        return self.cluster(clips, sig_pcm, sig_text, sim)
+
+        extra_edges = None
+        if cfg.use_audio_fp:
+            from ..operators import audio_fp
+
+            fps = self.stage(
+                "audio_fp",
+                lambda: audio_fp.spectral_fingerprints(clips),
+            )  # stage boundary = the materialization fingerprint_pairs requires
+            extra_edges = self.stage(
+                "audio_fp_pairs",
+                lambda: audio_fp.fingerprint_pairs(
+                    fps,
+                    min_frac=cfg.audio_fp_min_frac,
+                    min_matches=cfg.audio_fp_min_matches,
+                ),
+            )
+        return self.cluster(clips, sig_pcm, sig_text, sim, extra_edges)
 
     def cluster(
         self,
@@ -152,6 +182,7 @@ class Pipeline:
         sig_pcm: DataFrame,
         sig_text: DataFrame,
         sim: DataFrame,
+        extra_edges: DataFrame | None = None,
     ) -> DataFrame:
         """Clustering tail (P5-P10) from precomputed signatures. Entry point
         for the lambda split (streaming/lambda_arch.py): the speed layer
@@ -188,7 +219,9 @@ class Pipeline:
             "containment",
             lambda: cand_ops.containment_pass(verified, clips),
         )
-        edges = contained.filter(F.col("is_dup") | F.col("containment"))
+        edges = contained.filter(F.col("is_dup") | F.col("containment")).select("a", "b")
+        if extra_edges is not None:
+            edges = edges.unionByName(extra_edges.select("a", "b")).distinct()
         comps = self.stage(
             "components",
             lambda: components.connected_components(
