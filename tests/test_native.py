@@ -99,3 +99,24 @@ def test_native_random_configs_vs_naive():
         got = native.split_lengths_native(r, arr, _table_for(r))
         want = naive.split_naive(r, arr.tobytes())
         assert got == want, (algo, (mn, nm, mx), kind, n)
+
+
+def test_profile_kernels_tool_smoke():
+    """tools/profile_kernels.py (the cmd/cdcprofile analogue) emits a sane
+    breakdown: every rate positive, digest share in (0, 1)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tool = Path(__file__).parent.parent / "tools" / "profile_kernels.py"
+    r = subprocess.run(
+        [sys.executable, str(tool), "--mb", "8", "--no-numpy-pass"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert len(out["algos"]) == 3
+    for row in out["algos"]:
+        assert row["scan_mb_s"] > 0 and row["total_mb_s"] > 0
+        assert 0.0 < row["digest_share"] < 1.0
