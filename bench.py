@@ -75,11 +75,15 @@ def ensure_corpus(n_base: int) -> tuple[str, int, int]:
 
 
 def chunk_throughput(spark, corpus_path: str, total_bytes: int, replicate: int,
-                     cpus: int) -> tuple[float, float, int]:
-    """Chunk the corpus (optionally replicated x R); returns (sec, MB/s,
-    n_chunks). Warm-up pass first so Python-worker startup and first-touch
-    page faults are excluded (steady-state throughput, like the reference's
-    b.ResetTimer pattern in benchmarks/chunkers_test.go)."""
+                     cpus: int, digests=("sha256",)):
+    """Chunk the corpus (optionally replicated x R) once per digest kind;
+    returns {kind: (sec, MB/s, n_chunks)}. Warm-up pass first so
+    Python-worker startup and first-touch page faults are excluded
+    (steady-state throughput, like the reference's b.ResetTimer pattern in
+    benchmarks/chunkers_test.go). Timed repetitions are INTERLEAVED across
+    digest kinds so every kind samples the same noise windows -- a
+    sequential A-then-B layout hands B the tail of A's warmup and makes the
+    comparison (and the headline mb_per_sec) an artifact of run order."""
     from pyspark.sql import functions as F
 
     from go_cdc_chunkers_spark.operators import chunking
@@ -91,7 +95,10 @@ def chunk_throughput(spark, corpus_path: str, total_bytes: int, replicate: int,
         ).withColumn("clip_id", F.concat_ws("#", "clip_id", "_rep")).drop("_rep")
     clips = clips.repartition(cpus * 2).cache()
     clips.count()
-    chunked = chunking.chunk_clips(clips, "fastcdc-v1.0.0")
+    chunked = {
+        d: chunking.chunk_clips(clips, "fastcdc-v1.0.0", digest=d)
+        for d in digests
+    }
     # Warm-up to steady state: on this Firecracker VM the first ~4 identical
     # jobs ramp from ~60 to ~1500 MB/s as the JVM heap is first-touched and
     # codegen JIT-compiles (measured 10-iteration curve in BASELINE.md);
@@ -100,21 +107,21 @@ def chunk_throughput(spark, corpus_path: str, total_bytes: int, replicate: int,
     prev = None
     for _ in range(6):
         t = time.time()
-        chunked.count()
+        chunked[digests[0]].count()
         dt = time.time() - t
         if prev is not None and dt > prev * 0.75:
             break
         prev = dt
-    # Best of 3 timed iterations (residual noisy-neighbor jitter).
-    best = float("inf")
-    n_chunks = 0
-    for _ in range(3):
-        t = time.time()
-        n_chunks = chunked.count()
-        best = min(best, time.time() - t)
+    best = {d: float("inf") for d in digests}
+    n_chunks = {d: 0 for d in digests}
+    for _ in range(4):
+        for d in digests:
+            t = time.time()
+            n_chunks[d] = chunked[d].count()
+            best[d] = min(best[d], time.time() - t)
     vol = total_bytes * replicate
     clips.unpersist()
-    return best, vol / 1e6 / best, n_chunks
+    return {d: (best[d], vol / 1e6 / best[d], n_chunks[d]) for d in digests}
 
 
 def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1):
@@ -132,12 +139,20 @@ def run_workloads(spark, sf_dir: str, n_base: int, cpus: int, replicate: int = 1
     # the timed job is scheduler-latency-bound (~1 s) and mb_per_sec reads
     # 10x below the engine's real rate; longer timed jobs also average over
     # this VM's second-scale noisy-neighbor jitter.
+    # sha256 (the headline, reference-parity identity) and poly128 (the
+    # cheap near-dup identity, PipelineConfig.digest_kind) timed with
+    # interleaved repetitions -- same noise windows for both.
     thr_repl = max(replicate, 24)
-    dt, mbs, n_chunks = chunk_throughput(spark, corpus, total_bytes, thr_repl, cpus)
+    res = chunk_throughput(spark, corpus, total_bytes, thr_repl, cpus,
+                           digests=("sha256", "poly128"))
+    dt, mbs, n_chunks = res["sha256"]
     timings["cdc_chunk_throughput"] = round(dt, 3)
     extras["mb_per_sec"] = round(mbs, 2)
     extras["n_chunks"] = n_chunks
     extras["throughput_replicate"] = thr_repl
+    dt_p, mbs_p, _ = res["poly128"]
+    timings["cdc_chunk_throughput_poly128"] = round(dt_p, 3)
+    extras["mb_per_sec_poly128"] = round(mbs_p, 2)
 
     # Chunk geometry tracks clip size: the near-dup channel needs chunks
     # <= clip_bytes/(4*n_edits); bench clips are 2-8 s (~160 KB), so
@@ -292,7 +307,8 @@ def chunk_only_session(cpus: int, n_base: int, replicate: int):
     corpus, n_clips, total_bytes = ensure_corpus(n_base)
     spark = get_spark(app=f"chunk-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
     try:
-        dt, mbs, n_chunks = chunk_throughput(spark, corpus, total_bytes, replicate, cpus)
+        dt, mbs, n_chunks = chunk_throughput(
+            spark, corpus, total_bytes, replicate, cpus)["sha256"]
         return {"cpus": cpus, "sec": round(dt, 3), "mb_per_sec": round(mbs, 2),
                 "n_chunks": n_chunks}
     finally:

@@ -186,3 +186,59 @@ int64_t split_stadia(const uint8_t *data, int64_t total, const uint64_t *g64,
     }
     return cnt;
 }
+
+/* ---------------- poly128 per-chunk digest ---------------- */
+/* 128-bit polynomial chunk digest, the cheap non-cryptographic alternative
+ * to per-chunk sha256 for the near-dup path (sha256 is 55-79% of total
+ * chunking cost at 1 KB chunks; see tools/profile_kernels.py). Two
+ * independent odd multipliers, Horner form seeded with 1 so length is
+ * encoded:  H_p = p^L + sum_i d[i] * p^(L-1-i)   (mod 2^64).
+ * The numpy fallback computes the identical closed form via a per-chunk
+ * power-dot (kernels._poly128_numpy); differentially pinned. */
+static inline uint64_t poly_step8(uint64_t h, const uint8_t *d,
+                                  const uint64_t *pw /* p^1..p^8 */) {
+    /* h*p^8 + d0*p^7 + ... + d6*p + d7: the multiplies are independent,
+     * so the core pipelines them (the plain Horner loop is a serial
+     * multiply chain at ~4 cycles/byte -- measured SLOWER than SHA-NI
+     * sha256; this stride form is what makes poly128 worth having). */
+    uint64_t acc = h * pw[7];
+    acc += (uint64_t)d[0] * pw[6];
+    acc += (uint64_t)d[1] * pw[5];
+    acc += (uint64_t)d[2] * pw[4];
+    acc += (uint64_t)d[3] * pw[3];
+    acc += (uint64_t)d[4] * pw[2];
+    acc += (uint64_t)d[5] * pw[1];
+    acc += (uint64_t)d[6] * pw[0];
+    return acc + (uint64_t)d[7];
+}
+
+void digest_poly128(const uint8_t *data, int64_t total,
+                    const int64_t *lengths, int64_t n_chunks,
+                    uint64_t p1, uint64_t p2, uint64_t *out) {
+    int64_t pos = 0;
+    (void)total;
+    uint64_t pw1[8], pw2[8]; /* p^1 .. p^8 */
+    pw1[0] = p1;
+    pw2[0] = p2;
+    for (int k = 1; k < 8; k++) {
+        pw1[k] = pw1[k - 1] * p1;
+        pw2[k] = pw2[k - 1] * p2;
+    }
+    for (int64_t c = 0; c < n_chunks; c++) {
+        uint64_t h1 = 1, h2 = 1;
+        const int64_t e = pos + lengths[c];
+        int64_t i = pos;
+        for (; i + 8 <= e; i += 8) {
+            h1 = poly_step8(h1, data + i, pw1);
+            h2 = poly_step8(h2, data + i, pw2);
+        }
+        for (; i < e; i++) {
+            const uint64_t b = data[i];
+            h1 = h1 * p1 + b;
+            h2 = h2 * p2 + b;
+        }
+        out[2 * c] = h1;
+        out[2 * c + 1] = h2;
+        pos = e;
+    }
+}

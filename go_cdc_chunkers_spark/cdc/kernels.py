@@ -483,16 +483,76 @@ def split_lengths(algorithm_or_opts, data: bytes | np.ndarray, opts: ChunkerOpts
     return _fixed_lengths(len(arr), r.normal_size)
 
 
+# poly128 multipliers: odd (invertible mod 2^64), fixed forever -- digests
+# are persisted identities, so these are part of the on-disk format.
+POLY128_P1 = 0x9E3779B185EBCA87
+POLY128_P2 = 0xC2B2AE3D27D4EB4F
+
+
+def _poly128_numpy(arr: np.ndarray, lengths) -> np.ndarray:
+    """Closed form of the C kernel's Horner loop: H_p = p^L + sum_i d[i] *
+    p^(L-1-i) (mod 2^64 -- numpy uint64 wraps like C). Vectorized over each
+    chunk's bytes via a power-dot; scratch is one powers table up to the
+    longest chunk, never O(data)."""
+    out = np.empty((len(lengths), 2), dtype=np.uint64)
+    if not len(lengths):
+        return out
+    maxlen = int(max(lengths))
+    for j, p in enumerate((POLY128_P1, POLY128_P2)):
+        pw = np.empty(maxlen + 1, dtype=np.uint64)
+        pw[0] = 1
+        if maxlen:
+            np.multiply.accumulate(
+                np.full(maxlen, p, dtype=np.uint64), out=pw[1:])
+        pos = 0
+        for c, ln in enumerate(lengths):  # chunk lengths are always >= 1
+            seg = arr[pos:pos + ln].astype(np.uint64)
+            out[c, j] = pw[ln] + np.sum(seg * pw[ln - 1::-1])
+            pos += ln
+    return out
+
+
+def digest_poly128(data: bytes | np.ndarray, lengths) -> np.ndarray:
+    """(n_chunks, 2) uint64 digest words for consecutive chunks of `data`.
+    C kernel when compiled (one pass, no per-chunk call overhead; see
+    tools/profile_kernels.py for why sha256 dominates chunking cost),
+    numpy closed form otherwise; both differentially pinned vs the
+    pure-Python Horner reference in tests/test_native.py."""
+    arr = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray, memoryview)) else data)
+    from . import native
+
+    if native.available():
+        got = native.digest_poly128_native(arr, lengths, POLY128_P1, POLY128_P2)
+        if got is not None:
+            return got
+    return _poly128_numpy(arr, lengths)
+
+
 def split_chunks(
-    algorithm_or_opts, data: bytes, opts: ChunkerOpts | None = None, digest: bool = True
+    algorithm_or_opts, data: bytes, opts: ChunkerOpts | None = None,
+    digest: bool | str = True,
 ):
-    """(offset, length, sha256-digest) triples, the Split() output shape
-    (chunkers.go:214-232) with the per-chunk sha256 of cmd/cdc/stats.go:135."""
+    """(offset, length, digest) triples, the Split() output shape
+    (chunkers.go:214-232). digest: True/"sha256" = the per-chunk sha256 of
+    cmd/cdc/stats.go:135 (the reference-parity identity; default);
+    "poly128" = 16-byte LE poly128 words (the cheap identity for the
+    near-dup path); False = empty."""
     lengths = split_lengths(algorithm_or_opts, data, opts)
+    if digest == "poly128":
+        packed = np.ascontiguousarray(
+            digest_poly128(data, lengths), dtype="<u8").tobytes()
+        out = []
+        pos = 0
+        for i, ln in enumerate(lengths):
+            out.append((pos, ln, packed[16 * i:16 * i + 16]))
+            pos += ln
+        return out
     out = []
     pos = 0
+    mv = memoryview(data)  # no per-chunk slice copies in the digest loop
     for ln in lengths:
-        d = hashlib.sha256(data[pos : pos + ln]).digest() if digest else b""
+        d = hashlib.sha256(mv[pos : pos + ln]).digest() if digest else b""
         out.append((pos, ln, d))
         pos += ln
     return out

@@ -120,6 +120,11 @@ def _build() -> ctypes.CDLL | None:
         _U8P, ctypes.c_int64, _U64P, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _I64P,
     ]
+    lib.digest_poly128.restype = None
+    lib.digest_poly128.argtypes = [
+        _U8P, ctypes.c_int64, _I64P, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_uint64, _U64P,
+    ]
     return lib
 
 
@@ -187,3 +192,19 @@ def split_lengths_native(r, arr: np.ndarray, gear_table: np.ndarray | None):
     else:
         return None
     return out[:cnt].tolist()
+
+
+def digest_poly128_native(arr: np.ndarray, lengths, p1: int, p2: int):
+    """(n_chunks, 2) uint64 digest words via the C kernel, or None when no
+    native path exists."""
+    lib = _lib()
+    if lib is None:
+        return None
+    arr = _as_u8(arr)
+    ln = np.ascontiguousarray(lengths, dtype=np.int64)
+    out = np.empty((len(ln), 2), dtype=np.uint64)
+    lib.digest_poly128(
+        arr.ctypes.data_as(_U8P), len(arr), ln.ctypes.data_as(_I64P),
+        len(ln), p1, p2, out.ctypes.data_as(_U64P),
+    )
+    return out

@@ -57,7 +57,8 @@ CHUNKS_SCHEMA = T.StructType(
 )
 
 
-def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None, digest: bool = True):
+def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None,
+                   digest: bool | str = True):
     """Series->Series pandas UDF: binary -> array<struct<offset,length,hash>>.
 
     The ResolvedOpts (incl. any keyed Gear table derivation input) is captured
@@ -90,10 +91,16 @@ def chunk_clips(
     opts: ChunkerOpts | None = None,
     data_col: str = "bytes",
     id_col: str = "clip_id",
+    digest: bool | str = True,
 ) -> DataFrame:
     """clips -> chunks relation (P3). One shuffle-free narrow stage:
-    Scan -> ArrowEvalPython -> Generate(posexplode) -> Project."""
-    udf = make_chunk_udf(algorithm, opts)
+    Scan -> ArrowEvalPython -> Generate(posexplode) -> Project.
+
+    digest: "sha256" (default; reference-parity identity) or "poly128"
+    (16-byte polynomial digest, ~2x chunking throughput -- the identity
+    for near-dup signatures, where a non-cryptographic hash suffices;
+    kernels.split_chunks documents the format)."""
+    udf = make_chunk_udf(algorithm, opts, digest=digest)
     # posexplode_outer, not posexplode: the non-outer Generate makes Catalyst
     # insert a `size(udf(bytes)) > 0` pre-filter that extracts a SECOND
     # ArrowEvalPython node -- the chunk kernel would run twice per row. The

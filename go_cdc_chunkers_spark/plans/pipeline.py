@@ -71,6 +71,13 @@ class PipelineConfig:
     use_audio_fp: bool = False
     audio_fp_min_frac: float = 0.25
     audio_fp_min_matches: int = 8
+    # Chunk identity for the near-dup path. "sha256" keeps reference
+    # parity (cmd/cdc/stats.go digests); "poly128" is the cheap
+    # non-cryptographic identity (kernels.digest_poly128) -- right for
+    # MinHash signatures, where sha256 is 55-79% of chunking cost
+    # (tools/profile_kernels.py) and rare collisions only perturb an
+    # already-approximate estimator.
+    digest_kind: str = "sha256"
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -143,7 +150,8 @@ class Pipeline:
 
         chunks = self.stage(
             "chunks_pcm",
-            lambda: chunking.chunk_clips(clips, cfg.algorithm, cfg.chunk_opts),
+            lambda: chunking.chunk_clips(
+                clips, cfg.algorithm, cfg.chunk_opts, digest=cfg.digest_kind),
         )
         sig_pcm = self.stage(
             "sig_pcm", lambda: signatures.minhash_signatures(chunks, k=cfg.k)

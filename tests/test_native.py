@@ -120,3 +120,67 @@ def test_profile_kernels_tool_smoke():
     for row in out["algos"]:
         assert row["scan_mb_s"] > 0 and row["total_mb_s"] > 0
         assert 0.0 < row["digest_share"] < 1.0
+
+
+def _poly128_ref(data: bytes, lengths):
+    """Pure-Python Horner reference of the poly128 digest."""
+    from go_cdc_chunkers_spark.cdc.kernels import POLY128_P1, POLY128_P2
+
+    M = 1 << 64
+    out, pos = [], 0
+    for ln in lengths:
+        h1 = h2 = 1
+        for b in data[pos:pos + ln]:
+            h1 = (h1 * POLY128_P1 + b) % M
+            h2 = (h2 * POLY128_P2 + b) % M
+        out.append((h1, h2))
+        pos += ln
+    return out
+
+
+def test_poly128_native_numpy_reference_agree():
+    import numpy as np
+
+    from go_cdc_chunkers_spark.cdc import kernels, native
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n = int(rng.integers(1, 50_000))
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        lengths = []
+        left = n
+        while left:
+            ln = int(min(left, rng.integers(1, 4096)))
+            lengths.append(ln)
+            left -= ln
+        ref = _poly128_ref(data, lengths)
+        got_np = kernels._poly128_numpy(
+            np.frombuffer(data, dtype=np.uint8), lengths)
+        assert [tuple(map(int, r)) for r in got_np] == ref, trial
+        if native.available():
+            got_c = native.digest_poly128_native(
+                np.frombuffer(data, dtype=np.uint8), lengths,
+                kernels.POLY128_P1, kernels.POLY128_P2)
+            assert [tuple(map(int, r)) for r in got_c] == ref, trial
+    # empty stream -> no chunks, no digests
+    assert kernels.digest_poly128(b"", []).shape == (0, 2)
+
+
+def test_split_chunks_poly128_shape_and_determinism():
+    import numpy as np
+
+    from go_cdc_chunkers_spark.cdc import kernels
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
+    a = kernels.split_chunks("fastcdc-v1.0.0", data, opts, digest="poly128")
+    b = kernels.split_chunks("fastcdc-v1.0.0", data, opts, digest="poly128")
+    sha = kernels.split_chunks("fastcdc-v1.0.0", data, opts, digest=True)
+    assert a == b
+    # identical cuts as the sha256 path; only the identity differs
+    assert [(o, l) for o, l, _ in a] == [(o, l) for o, l, _ in sha]
+    assert all(len(d) == 16 for _, _, d in a)
+    # distinct chunks get distinct digests on this corpus
+    assert len({d for _, _, d in a}) == len(a)

@@ -131,3 +131,26 @@ def test_per_row_invariant_decode_and_transcript(synth, spark):
         snr_ok = noise == 0 or 10 * np.log10(sig / noise) >= 30
         assert snr_ok
         assert g["transcript"] == r["transcript"]
+
+
+def test_poly128_digest_kind_same_components(spark, tmp_path):
+    """PipelineConfig.digest_kind='poly128' swaps the chunk identity hash
+    only: cuts are identical, so MinHash signatures see the same chunk-set
+    structure and the final components must be identical to the sha256
+    run."""
+    from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
+    from go_cdc_chunkers_spark.sources import clips as clips_src
+
+    rows, _truth = clips_src.generate_clips(
+        n_base=20, dup_frac=0.25, near_frac=0.25, n_const=2, seed=17)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"]), r["transcript"]) for r in rows],
+        schema="clip_id string, bytes binary, transcript string",
+    )
+    out = {}
+    for kind in ("sha256", "poly128"):
+        pipe = Pipeline(spark, str(tmp_path / kind),
+                        PipelineConfig(digest_kind=kind))
+        out[kind] = sorted(
+            (r.clip_id, r.component_id) for r in pipe.run(df).collect())
+    assert out["sha256"] == out["poly128"]

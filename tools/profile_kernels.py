@@ -61,6 +61,7 @@ def profile_one(algo: str, data: bytes) -> dict:
     mb = len(data) / 1e6
     t_scan = _time(lambda: kernels.split_lengths(algo, data))
     t_total = _time(lambda: kernels.split_chunks(algo, data, digest=True))
+    t_poly = _time(lambda: kernels.split_chunks(algo, data, digest="poly128"))
     t_sha = _time(lambda: hashlib.sha256(data).digest())
     t_digest = max(t_total - t_scan, 1e-9)
     return {
@@ -69,6 +70,7 @@ def profile_one(algo: str, data: bytes) -> dict:
         "digest_mb_s": round(mb / t_digest, 1),
         "sha256_floor_mb_s": round(mb / t_sha, 1),
         "total_mb_s": round(mb / t_total, 1),
+        "total_poly128_mb_s": round(mb / t_poly, 1),
         "digest_share": round(t_digest / t_total, 3),
     }
 
@@ -89,8 +91,10 @@ def main() -> None:
     if native.available() and not args.no_numpy_pass:
         # numpy-fallback numbers from a child process (native caches per
         # process, so the env var must be set before first use)
+        # rates are size-independent; the numpy scan at ~13-50 MB/s does not
+        # need the full corpus to stabilize
         r = subprocess.run(
-            [sys.executable, __file__, "--mb", str(args.mb), "--no-numpy-pass"],
+            [sys.executable, __file__, "--mb", str(min(args.mb, 32)), "--no-numpy-pass"],
             capture_output=True, text=True,
             env=dict(os.environ, SPARK_GRAFT_NO_NATIVE="1"),
             timeout=3600,
@@ -110,12 +114,12 @@ def main() -> None:
     print(json.dumps(out))
 
     if args.md:
-        print("\n| algo | scan MB/s | scan(numpy) | digest MB/s | sha256 floor | total MB/s | digest share |")
-        print("|---|---|---|---|---|---|---|")
+        print("\n| algo | scan MB/s | scan(numpy) | digest MB/s | sha256 floor | total MB/s | total(poly128) | digest share |")
+        print("|---|---|---|---|---|---|---|---|")
         for r in rows:
             print(f"| {r['algo']} | {r['scan_mb_s']} | {r.get('scan_numpy_mb_s', '-')} "
                   f"| {r['digest_mb_s']} | {r['sha256_floor_mb_s']} "
-                  f"| {r['total_mb_s']} | {r['digest_share']} |")
+                  f"| {r['total_mb_s']} | {r['total_poly128_mb_s']} | {r['digest_share']} |")
 
 
 if __name__ == "__main__":
