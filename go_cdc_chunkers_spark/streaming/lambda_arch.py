@@ -37,7 +37,8 @@ from ..plans.pipeline import Pipeline, PipelineConfig
 from .ingest import stream_clips
 
 CLIP_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
-STORE_TABLES = ("clips", "chunks_pcm", "sig_pcm", "sig_text", "simhash_text")
+STORE_TABLES = ("clips", "chunks_pcm", "sig_pcm", "sig_text", "simhash_text",
+                "audio_fp")
 
 
 def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
@@ -74,6 +75,14 @@ def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None):
                 store_dir, "sig_text", batch_id,
             )
             _append(signatures.simhash64(batch_df), store_dir, "simhash_text", batch_id)
+            if cfg.use_audio_fp:
+                # spectral landmarks are per-clip too -- stream-safe; the
+                # store parquet IS the materialization fingerprint_pairs
+                # requires (operators/audio_fp.py stage-boundary contract)
+                from ..operators import audio_fp
+
+                _append(audio_fp.spectral_fingerprints(batch_df),
+                        store_dir, "audio_fp", batch_id)
         finally:
             batch_df.unpersist()
 
@@ -116,9 +125,22 @@ def cluster_store(
     `workdir` should be fresh per run (stage resume inside one run still
     applies if the job is killed and restarted with the same workdir)."""
     pipe = Pipeline(spark, workdir, cfg)
+    extra_edges = None
+    if pipe.cfg.use_audio_fp:
+        from ..operators import audio_fp
+
+        extra_edges = pipe.stage(
+            "audio_fp_pairs",
+            lambda: audio_fp.fingerprint_pairs(
+                read_store(spark, store_dir, "audio_fp"),
+                min_frac=pipe.cfg.audio_fp_min_frac,
+                min_matches=pipe.cfg.audio_fp_min_matches,
+            ),
+        )
     return pipe.cluster(
         read_store(spark, store_dir, "clips"),
         read_store(spark, store_dir, "sig_pcm"),
         read_store(spark, store_dir, "sig_text"),
         read_store(spark, store_dir, "simhash_text"),
+        extra_edges,
     )

@@ -156,3 +156,40 @@ def test_list_local_files(spark, tmp_path):
     assert sorted((r.clip_id.split("/")[-1], r.size) for r in got) == [
         ("a.pcm", 10), ("b.pcm", 20)
     ]
+
+
+def test_cli_ranged_matches_whole(tmp_path):
+    """jobs/cdc.py --ranged: the CLI face of chunk_files_ranged produces
+    the same chunks as whole-file loading (measure rows identical;
+    distribution identical up to double-agg fold order in stddev)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        (tree / f"f{i}.pcm").write_bytes(
+            rng.integers(0, 256, size=2_000_000, dtype=np.uint8).tobytes())
+
+    job = Path(__file__).parent.parent / "jobs" / "cdc.py"
+    outs = {}
+    for name, extra in (("whole", []), ("ranged", ["--ranged", "--range-mb", "1"])):
+        r = subprocess.run(
+            [sys.executable, str(job), "analyze", "--path", str(tree),
+             "--cpus", "4", "--min-size", "256", "--normal-size", "1024",
+             "--max-size", "8192", *extra],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        outs[name] = json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert outs["whole"]["measure"] == outs["ranged"]["measure"]
+    dw, dr = outs["whole"]["distribution"][0], outs["ranged"]["distribution"][0]
+    sw, sr = dw.pop("stddev_len"), dr.pop("stddev_len")
+    assert dw == dr
+    assert abs(sw - sr) < 1e-6

@@ -311,3 +311,47 @@ def test_lambda_stream_neardup_clustered(spark, tmp_path):
     comps2 = cluster_store(spark, store, str(tmp_path / "run2")).collect()
     label2 = {r.clip_id: r.component_id for r in comps2}
     assert label2["stream-near-dup"] == label2[base["clip_id"]]
+
+
+def test_lambda_stream_spectral_channel(spark, tmp_path):
+    """Lambda + spectral channel: a jittered chord variant with a REWRITTEN
+    transcript (invisible to chunk-digest and text channels) arrives on the
+    stream after the first batch run; the next batch run, with
+    use_audio_fp=True, clusters it with its base via the streamed
+    fingerprint store."""
+    import time as _time
+
+    from go_cdc_chunkers_spark.plans.pipeline import PipelineConfig
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        cluster_store, ingest_signatures_stream)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    cfg = PipelineConfig(use_audio_fp=True)
+
+    rows, truth, _k = clips_src.generate_chord_clips(
+        n_base=8, dup_frac=0.25, jitter_frac=0.0, insert_frac=0.0, seed=23)
+    _write_clip_rows(str(src / "f1.parquet"), rows)
+
+    q = ingest_signatures_stream(spark, str(src), store, cfg)
+    q.processAllAvailable()
+    q.stop()
+    cluster_store(spark, store, str(tmp_path / "run1"), cfg).collect()
+
+    base = rows[0]
+    import numpy as np
+    pcm = np.frombuffer(base["bytes"], dtype="<i2")
+    jit = np.clip(pcm.astype(np.float64) * 1.02, -32768, 32767).astype("<i2")
+    nd = dict(base, clip_id="stream-jitter",
+              bytes=jit.tobytes(), transcript="totally different words here")
+    _time.sleep(1.1)
+    _write_clip_rows(str(src / "f2.parquet"), [nd])
+
+    q2 = ingest_signatures_stream(spark, str(src), store, cfg)
+    q2.processAllAvailable()
+    q2.stop()
+
+    label = {r.clip_id: r.component_id
+             for r in cluster_store(spark, store, str(tmp_path / "run2"), cfg).collect()}
+    assert label["stream-jitter"] == label[base["clip_id"]]
