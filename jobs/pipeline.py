@@ -37,6 +37,11 @@ def main() -> int:
                     help="generate a deterministic synthetic clips table of N base clips")
     ap.add_argument("--algorithm", default="fastcdc-v1.0.0")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (local mode only)")
+    ap.add_argument("--audio-fp", action="store_true",
+                    help="enable the spectral-fingerprint evidence channel "
+                         "(PipelineConfig.use_audio_fp)")
+    ap.add_argument("--digest", choices=["sha256", "poly128"], default="sha256",
+                    help="chunk identity hash (poly128 = cheap near-dup identity)")
     args = ap.parse_args()
 
     from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
@@ -60,7 +65,8 @@ def main() -> int:
         ap.error("need --clips or --synthetic")
         return 2
 
-    cfg = PipelineConfig(algorithm=args.algorithm)
+    cfg = PipelineConfig(algorithm=args.algorithm, use_audio_fp=args.audio_fp,
+                         digest_kind=args.digest)
     t0 = time.time()
     pipe = Pipeline(spark, args.workdir, cfg)
     comps = pipe.run(clips)
