@@ -1557,6 +1557,41 @@ FROM {_mat('cdc_bigfile_whole')}
 # ALL recomputed relationally by the DuckDB oracle.
 # ---------------------------------------------------------------------------
 
+def doc_simhash_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-recall SimHash pairs (dedup_text.py Manku
+    block-combination tables) over documents at hamming <= 6. The oracle
+    is METHOD-INDEPENDENT: DuckDB brute-forces every O(n^2) pair with
+    bit_count(xor) over the same materialized signatures, so a value-hash
+    match certifies the block-combination path finds EXACTLY the
+    brute-force pair set (recall 1.0 by construction, not by agreement on
+    a shared algorithm)."""
+    from .operators.dedup_text import simhash_pairs_guaranteed_from_sigs
+    from .operators.signatures import simhash64
+
+    docs = _table(spark, sf_dir, "documents")
+    sigs = simhash64(docs, text_col="text", id_col="doc_id")
+    sm = _materialize(spark, sigs, "doc_simhash_sigs")
+    return (
+        simhash_pairs_guaranteed_from_sigs(sm, max_hamming=6)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+DOC_SIMHASH_GUARANTEED_SQL = f"""
+WITH s AS (SELECT * FROM {_mat('doc_simhash_sigs')})
+SELECT x.clip_id::BIGINT AS a, y.clip_id::BIGINT AS b,
+       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+FROM s x JOIN s y ON x.clip_id < y.clip_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+ORDER BY a, b
+"""
+
+
 def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs via spectral peak-landmark fingerprints over
     the deterministic chord-clips fixture. Recovers amplitude-jittered
@@ -1614,6 +1649,7 @@ QUERIES = {
     # training-data ops (sketch/pieces materialized, method oracle-checked)
     "ann_lsh_topk": ann_lsh_topk,
     "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_simhash_guaranteed": doc_simhash_guaranteed,
     "audio_frame_energy": audio_frame_energy,
     "audio_fp_neardup": audio_fp_neardup,
     # oracle-checked
@@ -1657,6 +1693,7 @@ ORACLES = {
     "cdc_bigfile_chunks": CDC_BIGFILE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "doc_simhash_pairs": DOC_SIMHASH_SQL,
+    "doc_simhash_guaranteed": DOC_SIMHASH_GUARANTEED_SQL,
     "audio_frame_energy": AUDIO_FRAME_SQL,
     "audio_fp_neardup": AUDIO_FP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
