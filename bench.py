@@ -26,7 +26,9 @@ both levels in fresh JVMs and reports throughputs + efficiency.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_CLIPS (default 600 base clips),
-     SPARK_GRAFT_BENCH_REPL (default 24; scaling-run volume multiplier).
+     SPARK_GRAFT_BENCH_REPL (default 24; scaling-run volume multiplier),
+     SPARK_GRAFT_SKEW_CLIPS / SPARK_GRAFT_SKEW_CONST (default 6400/1600;
+     the adversarial skew-evidence corpus, see skew_evidence()).
 """
 
 from __future__ import annotations
