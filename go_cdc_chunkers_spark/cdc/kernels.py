@@ -538,6 +538,10 @@ def split_chunks(
     cmd/cdc/stats.go:135 (the reference-parity identity; default);
     "poly128" = 16-byte LE poly128 words (the cheap identity for the
     near-dup path); False = empty."""
+    if digest not in (True, False, "sha256", "poly128"):
+        raise ValueError(
+            f"unknown digest kind {digest!r}: expected True/'sha256', "
+            "'poly128', or False")
     lengths = split_lengths(algorithm_or_opts, data, opts)
     if digest == "poly128":
         packed = np.ascontiguousarray(

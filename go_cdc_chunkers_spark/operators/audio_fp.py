@@ -66,7 +66,9 @@ def clip_landmarks(
     next `dt_max` frames; hash packs (f1 << 16) | (f2 << 6) | dt (rFFT of a
     1024 frame has 513 bins -> 10 bits; dt_max < 64 -> 6 bits)."""
     x = pcm.astype(np.float64)
-    if len(x) < frame:
+    if len(x) < frame + hop:
+        # landmarks pair peaks across >= 2 frames; 0- and 1-frame clips
+        # have none (and an empty dt loop must not reach np.concatenate)
         return np.empty(0, np.int64), np.empty(0, np.int32)
     n_frames = 1 + (len(x) - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]

@@ -112,7 +112,16 @@ def read_store(spark: SparkSession, store_dir: str, table: str) -> DataFrame:
     """Accumulated view of one store table across all landed batches. The
     batch=<id> directory name is a partition column to Spark; drop it so the
     schema equals the batch pipeline's."""
-    return spark.read.parquet(os.path.join(store_dir, table)).drop("batch")
+    if table not in STORE_TABLES:
+        raise ValueError(f"unknown store table {table!r}: {STORE_TABLES}")
+    path = os.path.join(store_dir, table)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"store table {table!r} missing at {path}: the stream that fed "
+            "this store never wrote it (for 'audio_fp', ingest must run "
+            "with PipelineConfig(use_audio_fp=True) -- fingerprints cannot "
+            "be recovered from signatures, only from raw clip bytes)")
+    return spark.read.parquet(path).drop("batch")
 
 
 def cluster_store(

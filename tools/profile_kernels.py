@@ -87,6 +87,7 @@ def main() -> None:
 
     data = _corpus(args.mb)
     rows = [profile_one(a, data) for a in ALGOS]
+    numpy_err = None
 
     if native.available() and not args.no_numpy_pass:
         # numpy-fallback numbers from a child process (native caches per
@@ -100,10 +101,15 @@ def main() -> None:
             timeout=3600,
         )
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if lines:
+        if r.returncode == 0 and lines:
             numpy_rows = {x["algo"]: x for x in json.loads(lines[-1])["algos"]}
             for row in rows:
                 row["scan_numpy_mb_s"] = numpy_rows[row["algo"]]["scan_mb_s"]
+        else:
+            # a partial report must be distinguishable from a skipped pass
+            print(f"numpy pass failed (exit {r.returncode}): "
+                  f"{r.stderr.strip()[-400:]}", file=sys.stderr)
+            numpy_err = f"exit {r.returncode}"
 
     out = {
         "metric": "kernel_profile",
@@ -111,6 +117,8 @@ def main() -> None:
         "native_kernel": native.available(),
         "algos": rows,
     }
+    if numpy_err:
+        out["numpy_pass_error"] = numpy_err
     print(json.dumps(out))
 
     if args.md:
