@@ -505,10 +505,13 @@ def _poly128_numpy(arr: np.ndarray, lengths) -> np.ndarray:
             np.multiply.accumulate(
                 np.full(maxlen, p, dtype=np.uint64), out=pw[1:])
         pos = 0
-        for c, ln in enumerate(lengths):  # chunk lengths are always >= 1
-            seg = arr[pos:pos + ln].astype(np.uint64)
-            out[c, j] = pw[ln] + np.sum(seg * pw[ln - 1::-1])
-            pos += ln
+        # mod-2^64 wraparound is the digest definition; silence numpy's
+        # overflow warning for the scalar adds (C kernel wraps identically)
+        with np.errstate(over="ignore"):
+            for c, ln in enumerate(lengths):  # chunk lengths are always >= 1
+                seg = arr[pos:pos + ln].astype(np.uint64)
+                out[c, j] = pw[ln] + np.sum(seg * pw[ln - 1::-1])
+                pos += ln
     return out
 
 

@@ -1633,6 +1633,51 @@ ORDER BY a, b
 """
 
 
+def incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup accounting: a new batch of clips probed against an
+    accumulated chunk store (operators/incremental.py). Here the split is
+    synthetic -- clips with even xxhash64(clip_id) are "the store", the rest
+    are "the batch" -- computed Spark-side and materialized WITH the chunk
+    relation, so the oracle replays the identical split relationally. The
+    production path persists the store bucketed by chunk_hash
+    (write_chunk_store) so this probe never shuffles the store; bucketing
+    doesn't change results, and the bucketed plan shape is pinned in
+    tests/test_incremental_store.py."""
+    from .operators import incremental
+
+    clips = load_clips(spark)
+    chunks = chunking.chunk_clips(
+        clips, "fastcdc-v1.0.0",
+        ChunkerOpts(min_size=256, normal_size=1024, max_size=8192),
+    ).withColumn("in_store", F.xxhash64("clip_id") % 2 == 0)
+    ch = _materialize(spark, chunks, "incremental_store_chunks")
+    store = ch.filter(F.col("in_store"))
+    new = ch.filter(~F.col("in_store"))
+    return incremental.exact_dedup_vs_store(new, store).orderBy("clip_id")
+
+
+INCREMENTAL_STORE_SQL = f"""
+WITH t AS (SELECT * FROM {_mat('incremental_store_chunks')}),
+new AS (SELECT * FROM t WHERE NOT in_store),
+dup AS (
+  SELECT clip_id, count(*)::BIGINT AS dup_chunks, sum(length)::BIGINT AS dup_bytes
+  FROM new
+  WHERE chunk_hash IN (SELECT chunk_hash FROM t WHERE in_store)
+  GROUP BY 1
+),
+tot AS (
+  SELECT clip_id, count(*)::BIGINT AS n_chunks, sum(length)::BIGINT AS total_bytes
+  FROM new GROUP BY 1
+)
+SELECT tot.clip_id, n_chunks, total_bytes,
+       coalesce(dup_chunks, 0)::BIGINT AS dup_chunks,
+       coalesce(dup_bytes, 0)::BIGINT AS dup_bytes,
+       coalesce(dup_chunks, 0) = n_chunks AS fully_dup
+FROM tot LEFT JOIN dup ON tot.clip_id = dup.clip_id
+ORDER BY tot.clip_id
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -1673,10 +1718,12 @@ QUERIES = {
     "revenue_rollup_totals": revenue_rollup_totals,
     "customers_without_orders": customers_without_orders,
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
+    "incremental_store_dedup": incremental_store_dedup,
 }
 
 ORACLES = {
     "doc_winnow_fingerprint": DOC_WINNOW_SQL,
+    "incremental_store_dedup": INCREMENTAL_STORE_SQL,
     "ann_ivf_topk": _ivf_sql(),
     "tpch_q14_promo": TPCH_Q14_SQL,
     "revenue_rollup_totals": REVENUE_ROLLUP_TOTALS_SQL,

@@ -1,0 +1,216 @@
+"""Incremental dedup against an accumulated chunk store (bucketed layout).
+
+The reference is single-run: every invocation re-chunks its inputs and the
+digest index lives in process memory (cmd/cdc keeps per-run maps; nothing
+persists between runs). A cluster engine ingesting forever can't do that --
+at 10^12 clips the accumulated store is ~10^14 chunk rows, and re-shuffling
+it for every daily batch join would cost more than the ingest itself.
+
+This module keeps the store in Spark's bucketed-parquet layout instead:
+
+  - `write_chunk_store` persists chunks bucketed by `chunk_hash`
+    (`bucketBy` + `sortBy`). Bucketing IS a persisted shuffle: the
+    hash-partitioning is done once, at write time, and recorded in the
+    catalog.
+  - every later batch-vs-store join then reads the store shuffle-free --
+    the store-side FileScan reports `Bucketed: true` with NO Exchange above
+    it, and only the new batch is shuffled into the matching bucketing
+    (probe cost is O(batch), independent of store size). Pinned by
+    `tests/test_incremental_store.py::test_store_join_shuffles_probe_side_only`.
+  - `register_chunk_store` re-attaches an existing store directory to a
+    fresh session's catalog (`CREATE TABLE ... CLUSTERED BY ... LOCATION`),
+    so jobs restart without rewriting anything.
+
+Skew: `chunk_hash` is a cryptographic digest, so bucket load is uniform by
+construction (the one hot key class -- boilerplate chunks repeated across
+many clips, e.g. silence -- inflates a bucket's row count but never a single
+join key's match multiplicity, because probes are semi/anti joins on
+presence, not inner joins producing pairs). The near-dup band store DOES
+produce pairs, so it persists a band document-frequency relation alongside
+and drops stop-bands before the join -- same control as
+audio_fp.prune_common_hashes.
+
+Oracle: driver query `incremental_store_dedup` (entry_queries.py) checks the
+per-clip dup/novel accounting against DuckDB over the same materialized
+chunk relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64  # sandbox-sized; ~4-8 MB target bucket files. At the
+# 10^14-row scale SCALE.md sizes, this is O(10^5) buckets (store_TB / 0.5 GB).
+
+
+def write_chunk_store(
+    chunks: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a chunks relation (clip_id, chunk_hash, length, ...) as a
+    bucketed external table at `path`. `mode="append"` adds a batch to an
+    existing store (bucket files accumulate; compaction is a rewrite with
+    the same bucketing)."""
+    (
+        chunks.write.bucketBy(n_buckets, "chunk_hash")
+        .sortBy("chunk_hash")
+        .mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def register_chunk_store(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Attach an existing bucketed store directory to this session's catalog
+    (fresh sessions have an empty in-memory/derby catalog; the data and its
+    bucket-file naming survive on disk). `schema_ddl` example:
+    "clip_id STRING, chunk_hash BINARY, length INT". The declared bucketing
+    must match what `write_chunk_store` used, or joins would be silently
+    mis-bucketed -- Spark trusts the DDL."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
+def probe_store(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
+    """new-batch chunk rows whose hash already exists in the store
+    (left_semi: presence only -- store-side duplicate hashes never multiply
+    probe rows, so a boilerplate chunk repeated 10^9 times in the store
+    costs its bucket a scan, not a join blowup)."""
+    return new_chunks.join(
+        store.select("chunk_hash"), "chunk_hash", "left_semi"
+    )
+
+
+def novel_chunks(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
+    """Chunk rows not yet in the store (left_anti mirror of probe_store):
+    the write-elimination set -- at 10^12-clip scale the whole point of the
+    store is that only these bytes are fetched/stored downstream."""
+    return new_chunks.join(
+        store.select("chunk_hash"), "chunk_hash", "left_anti"
+    )
+
+
+def exact_dedup_vs_store(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
+    """Per-new-clip dedup accounting against the store:
+    (clip_id, n_chunks, total_bytes, dup_chunks, dup_bytes, fully_dup).
+    All integer/boolean -- bit-stable across engines. Every shuffle in this
+    plan is keyed on the NEW batch (chunk_hash probe, clip_id aggregates);
+    the store contributes only its bucketed scan."""
+    dup = (
+        probe_store(new_chunks, store)
+        .groupBy("clip_id")
+        .agg(
+            F.count("*").cast("long").alias("_dup_chunks"),
+            F.sum("length").cast("long").alias("_dup_bytes"),
+        )
+    )
+    tot = new_chunks.groupBy("clip_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("total_bytes"),
+    )
+    return tot.join(dup, "clip_id", "left").select(
+        "clip_id",
+        "n_chunks",
+        "total_bytes",
+        F.coalesce("_dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+        F.coalesce("_dup_bytes", F.lit(0)).cast("long").alias("dup_bytes"),
+        (F.coalesce("_dup_chunks", F.lit(0)) == F.col("n_chunks")).alias("fully_dup"),
+    )
+
+
+def append_novel(
+    spark: SparkSession,
+    new_chunks: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Grow the store by this batch's novel content: one deterministic row
+    per previously-unseen hash (min_by (clip_id, chunk_idx) -- re-running
+    the same batch appends the same rows; true idempotence needs the
+    batch-marker protocol of plans/pipeline.py on top)."""
+    store = spark.table(table)
+    nov = novel_chunks(new_chunks, store)
+    picked = nov.groupBy("chunk_hash").agg(
+        F.min_by(
+            F.struct(*[c for c in nov.columns if c != "chunk_hash"]),
+            F.struct("clip_id", "chunk_idx"),
+        ).alias("_r")
+    )
+    first = picked.select("chunk_hash", "_r.*").select(*new_chunks.columns)
+    write_chunk_store(first, table, path, n_buckets=n_buckets, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup band store: LSH bands persisted bucketed on the band key, plus a
+# document-frequency side relation for stop-band pruning (the skew control).
+# ---------------------------------------------------------------------------
+
+def write_band_store(
+    bands: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist lsh_bands() output (clip_id, band_id, band_hash) bucketed by
+    band_hash. The df side-relation is recomputed per probe from the store
+    scan's own aggregation when small, or maintained incrementally by the
+    compaction job at scale (documented, not automated here)."""
+    (
+        bands.write.bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def near_dup_candidates_vs_store(
+    new_bands: DataFrame,
+    store_bands: DataFrame,
+    max_df: int = 64,
+) -> DataFrame:
+    """(new_clip, store_clip) candidate pairs: equi-join on (band_id,
+    band_hash) after dropping stop-bands (bands matching > max_df store
+    clips -- boilerplate: silence, constant tones). The stop-band relation
+    is tiny (only over-threshold keys) and broadcast into an anti-join, so
+    neither side shuffles for the prune; the store-side groupBy IS a store
+    aggregation, but a map-side-combinable one keyed by the bucketing
+    column, so it reuses the store's on-disk partitioning (no Exchange) --
+    and at scale it's the compaction job's output, not a per-probe cost."""
+    key = ["band_id", "band_hash"]
+    hot = (
+        store_bands.groupBy(*key)
+        .agg(F.count_distinct("clip_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(*key)
+    )
+    s = store_bands.join(F.broadcast(hot), key, "left_anti").select(
+        *key, F.col("clip_id").alias("store_clip")
+    )
+    n = new_bands.join(F.broadcast(hot), key, "left_anti").select(
+        *key, F.col("clip_id").alias("new_clip")
+    )
+    return (
+        n.join(s, key)
+        .filter(F.col("new_clip") != F.col("store_clip"))
+        .select("new_clip", "store_clip")
+        .distinct()
+    )

@@ -30,6 +30,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Executor Python workers don't inherit the driver's sys.path -- only
+    # its environment. A driver that imported this package via sys.path
+    # manipulation (or from a cwd other than the repo root) would get
+    # ModuleNotFoundError in every UDF. Propagate the package's parent dir
+    # explicitly; on a real cluster --py-files (tools/package.py) replaces
+    # this, and spark-submit's own PYTHONPATH handling wins.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in py_path.split(os.pathsep):
+        py_path = pkg_parent + (os.pathsep + py_path if py_path else "")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -43,6 +53,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.executorEnv.PYTHONPATH", py_path)
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,164 @@
+"""Incremental dedup vs a bucketed chunk store (operators/incremental.py).
+
+Pins the two properties that make the store usable at 10^14 chunk rows:
+  1. correctness -- per-clip dup/novel accounting matches a Python
+     recomputation from the same chunk relation, across full-copy /
+     partial-overlap / fully-novel batch clips;
+  2. plan shape -- probing the store NEVER shuffles it: the store-side
+     FileScan reads the persisted bucketing (Bucketed: true) and the only
+     Exchange in a probe plan is on the new-batch side.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+from go_cdc_chunkers_spark.operators import chunking, incremental
+
+OPTS = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def no_broadcast(spark):
+    """Force the scale-representative SortMergeJoin shape (at sandbox sizes
+    Spark would broadcast the store, which inverts the plan under test)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """Bucketed store of 10 clips + a 3-clip new batch: one exact copy of a
+    store clip, one sharing a 20 KB prefix with a store clip, one novel."""
+    rng = np.random.default_rng(7)
+    store_clips = [(f"s{i}", bytearray(rng.integers(0, 256, 40_000, dtype=np.uint8)))
+                   for i in range(10)]
+    new_clips = [
+        ("n_copy", bytearray(store_clips[0][1])),
+        ("n_partial", bytearray(bytes(store_clips[1][1][:20_000])
+                                + bytes(rng.integers(0, 256, 20_000, dtype=np.uint8)))),
+        ("n_novel", bytearray(rng.integers(0, 256, 40_000, dtype=np.uint8))),
+    ]
+    schema = "clip_id string, bytes binary"
+    store_chunks = chunking.chunk_clips(
+        spark.createDataFrame(store_clips, schema), "fastcdc-v1.0.0", OPTS)
+    new_chunks = chunking.chunk_clips(
+        spark.createDataFrame(new_clips, schema), "fastcdc-v1.0.0", OPTS)
+
+    path = str(tmp_path_factory.mktemp("incr") / "chunk_store")
+    incremental.write_chunk_store(store_chunks, "t_incr_store", path, n_buckets=8)
+    new_mat = new_chunks.cache()
+    new_mat.count()
+    return {"path": path, "store": spark.table("t_incr_store"), "new": new_mat}
+
+
+def test_probe_plan_bucketed_single_exchange(spark, corpus, no_broadcast):
+    p = plan(incremental.probe_store(corpus["new"], corpus["store"]))
+    assert "Bucketed: true" in p
+    assert "SortMergeJoin" in p and "LeftSemi" in p
+    # the one Exchange is the probe side being shuffled into the store's
+    # bucketing; the store scan feeds the join directly
+    assert p.count("Exchange") == 1
+
+
+def test_exact_report_matches_python(spark, corpus):
+    store_hashes = {bytes(r["chunk_hash"])
+                    for r in corpus["store"].select("chunk_hash").collect()}
+    expected = {}
+    for r in corpus["new"].collect():
+        e = expected.setdefault(r["clip_id"],
+                                dict(n_chunks=0, total_bytes=0, dup_chunks=0, dup_bytes=0))
+        e["n_chunks"] += 1
+        e["total_bytes"] += r["length"]
+        if bytes(r["chunk_hash"]) in store_hashes:
+            e["dup_chunks"] += 1
+            e["dup_bytes"] += r["length"]
+
+    rep = {r["clip_id"]: r.asDict()
+           for r in incremental.exact_dedup_vs_store(
+               corpus["new"], corpus["store"]).collect()}
+    assert set(rep) == {"n_copy", "n_partial", "n_novel"}
+    for cid, e in expected.items():
+        got = rep[cid]
+        for k in ("n_chunks", "total_bytes", "dup_chunks", "dup_bytes"):
+            assert got[k] == e[k], (cid, k, got, e)
+        assert got["fully_dup"] == (e["dup_chunks"] == e["n_chunks"])
+
+    assert rep["n_copy"]["fully_dup"] is True
+    # shared 20 KB prefix -> some-but-not-all chunks dedup against the store
+    assert 0 < rep["n_partial"]["dup_chunks"] < rep["n_partial"]["n_chunks"]
+    assert rep["n_novel"]["dup_chunks"] == 0
+
+
+def test_register_reattaches_existing_store(spark, corpus, no_broadcast):
+    """A fresh catalog (new session / restarted job) re-attaches the store
+    directory by DDL; data, bucketing, and results are unchanged."""
+    before = {(r["clip_id"], r["fully_dup"])
+              for r in incremental.exact_dedup_vs_store(
+                  corpus["new"], corpus["store"]).collect()}
+    spark.sql("DROP TABLE t_incr_store")  # external: files stay on disk
+    store2 = incremental.register_chunk_store(
+        spark, "t_incr_store", corpus["path"],
+        "clip_id STRING, algo STRING, chunk_idx INT, offset BIGINT, "
+        "length INT, chunk_hash BINARY",
+        n_buckets=8,
+    )
+    assert "Bucketed: true" in plan(incremental.probe_store(corpus["new"], store2))
+    after = {(r["clip_id"], r["fully_dup"])
+             for r in incremental.exact_dedup_vs_store(
+                 corpus["new"], store2).collect()}
+    assert after == before
+
+
+def test_append_novel_then_batch_fully_dup(spark, corpus):
+    n0 = spark.table("t_incr_store").count()
+    incremental.append_novel(spark, corpus["new"], "t_incr_store", corpus["path"],
+                             n_buckets=8)
+    n1 = spark.table("t_incr_store").count()
+    novel_hashes = (corpus["new"].select("chunk_hash").distinct().count()
+                    - corpus["new"].join(corpus["store"].select("chunk_hash"),
+                                         "chunk_hash", "left_semi")
+                    .select("chunk_hash").distinct().count())
+    assert n1 == n0 + novel_hashes
+    # replaying the same batch: everything is now in the store...
+    rep = incremental.exact_dedup_vs_store(
+        corpus["new"], spark.table("t_incr_store")).collect()
+    assert all(r["fully_dup"] for r in rep)
+    # ...and a second append is a no-op (nothing novel remains)
+    incremental.append_novel(spark, corpus["new"], "t_incr_store", corpus["path"],
+                             n_buckets=8)
+    assert spark.table("t_incr_store").count() == n1
+
+
+def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_broadcast):
+    # store: clip A shares band (0, 111) with the new clip X; a boilerplate
+    # band (1, 999) is shared by 100 store clips AND new clip Y
+    store_rows = [("A", 0, 111), ("B", 0, 222), ("C", 2, 333)]
+    store_rows += [(f"junk{i}", 1, 999) for i in range(100)]
+    new_rows = [("X", 0, 111), ("X", 1, 123), ("Y", 1, 999)]
+    schema = "clip_id string, band_id int, band_hash long"
+    path = str(tmp_path_factory.mktemp("bands") / "band_store")
+    incremental.write_band_store(
+        spark.createDataFrame(store_rows, schema), "t_band_store", path, n_buckets=8)
+    store = spark.table("t_band_store")
+    new = spark.createDataFrame(new_rows, schema)
+
+    cands = incremental.near_dup_candidates_vs_store(new, store, max_df=10)
+    assert "CartesianProduct" not in plan(cands)
+    got = {(r["new_clip"], r["store_clip"]) for r in cands.collect()}
+    assert got == {("X", "A")}  # Y's only band is a pruned stop-band
+
+    # the stop-band aggregation itself rides the store's bucketing: grouping
+    # on (band_id, band_hash) is clustered by the persisted band_hash
+    # partitioning, so no Exchange
+    hot = (store.groupBy("band_id", "band_hash")
+           .agg(F.count_distinct("clip_id").alias("_df"))
+           .filter(F.col("_df") > 10))
+    assert plan(hot).count("Exchange") == 0
