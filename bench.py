@@ -29,6 +29,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_BENCH_REPL (default 24; scaling-run volume multiplier),
      SPARK_GRAFT_SKEW_CLIPS / SPARK_GRAFT_SKEW_CONST (default 6400/1600;
      the adversarial skew-evidence corpus, see skew_evidence()).
+
+Evidence modes (beyond the default one-line bench): --scaling (N vs 4N
+efficiency), --skew (candidate-stage hot-bucket growth), --store
+(bucketed-store probe shuffle volumes, see store_evidence()),
+--pipeline-scale (volume amortization).
 """
 
 from __future__ import annotations
@@ -302,6 +307,153 @@ def skew_evidence(spark, cpus: int, n_base: int | None = None,
     return ev
 
 
+def _synth_chunk_rows(spark, n: int, salt: str, n_dup_of: tuple[str, int] | None = None):
+    """Synthetic chunk-store relation (clip_id, chunk_idx, length,
+    chunk_hash): realistic key width (32-byte sha2) without chunking
+    gigabytes -- probe mechanics depend only on the relation shape.
+    n_dup_of=(store_salt, k): the first k rows reuse the store's hashes
+    (the batch's dup fraction)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    h = F.sha2(F.concat(F.lit(salt), F.col("id").cast("string")), 256)
+    if n_dup_of:
+        s_salt, k = n_dup_of
+        hs = F.sha2(F.concat(F.lit(s_salt), F.col("id").cast("string")), 256)
+        h = F.when(F.col("id") < k, hs).otherwise(h)
+    return df.select(
+        F.concat(F.lit("c"), (F.col("id") / 100).cast("long").cast("string")).alias("clip_id"),
+        (F.col("id") % 100).cast("int").alias("chunk_idx"),
+        F.lit(1024).alias("length"),
+        F.unhex(h).alias("chunk_hash"),
+    )
+
+
+def _exec_count_with_shuffle(df) -> tuple[int, float, int]:
+    """Execute count(*) over df and return (count, seconds,
+    total shuffle bytes written) from the SAME execution's SQL metrics.
+    Shuffle volume is the scale-honest metric on a single box: local
+    'shuffles' move through memory at GB/s, so wall-clock hides exactly
+    the cost that dominates on a 1000-executor cluster network."""
+    from pyspark.sql import functions as F
+
+    cnt_df = df.agg(F.count("*").alias("n"))
+    t = time.time()
+    n = cnt_df.collect()[0]["n"]
+    sec = time.time() - t
+
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if node.getClass().getSimpleName().endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(cnt_df._jdf.queryExecution().executedPlan())
+    return int(n), sec, int(total)
+
+
+def store_evidence(cpus: int) -> dict:
+    """Bucketed-store probe evidence (operators/incremental.py): measure a
+    fixed 400k-row batch probed against chunk stores of 4M and 16M rows,
+    (a) bucketed layout vs (b) plain parquet, plus the broadcast-inverted
+    small-batch path. The headline metric is measured SHUFFLE VOLUME (from
+    each execution's own SQL metrics), not wall-clock: on one box a
+    'shuffle' moves through memory at GB/s, so elapsed time hides exactly
+    the cost that dominates a 1000-executor cluster's network. Claims under
+    measurement:
+      - the plain store shuffles O(store) bytes per probe and the bucketed
+        store shuffles only the batch, so the shuffle saved -> 100% as the
+        store grows while the batch stays fixed;
+      - the broadcast-inverted path shuffles only batch-sized distincts
+        regardless of layout;
+      - wall-clock is reported for completeness but is near-noise here.
+    Results land in BENCH/BASELINE.md; run: python bench.py --store."""
+    from go_cdc_chunkers_spark.operators import incremental
+    from go_cdc_chunkers_spark.session import get_spark
+
+    n_batch = 400_000
+    sizes = (4_000_000, 16_000_000)
+    spark = get_spark(app="bench-store", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ev: dict = {"store_batch_rows": n_batch, "store_sizes": list(sizes)}
+    try:
+        # broadcast would hide the join shape under test (the 400k batch is
+        # deliberately broadcastable; production batches are not)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = None
+        for n in sizes:
+            tag = f"{n // 1_000_000}m"
+            bpath = os.path.join(BENCH_DIR, f"store_bucketed_{tag}")
+            ppath = os.path.join(BENCH_DIR, f"store_plain_{tag}")
+            table = f"bench_store_{tag}"
+            rows = _synth_chunk_rows(spark, n, salt=f"st{tag}")
+            if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+                incremental.write_chunk_store(rows, table, bpath, n_buckets=64)
+            else:
+                incremental.register_chunk_store(
+                    spark, table, bpath,
+                    "clip_id STRING, chunk_idx INT, length INT, chunk_hash BINARY",
+                    n_buckets=64)
+            if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
+                rows.write.mode("overwrite").parquet(ppath)
+            batch = _synth_chunk_rows(
+                spark, n_batch, salt=f"nb{tag}",
+                n_dup_of=(f"st{tag}", n_batch // 2)).cache()
+            batch.count()
+
+            modes = {
+                "bucketed": lambda: incremental.probe_store(
+                    batch, spark.table(table)),
+                "plain": lambda: incremental.probe_store(
+                    batch, spark.read.parquet(ppath)),
+                "broadcast": lambda: incremental.probe_store(
+                    batch, spark.table(table), broadcast_batch=True),
+            }
+            for fn in modes.values():  # warm page cache + JIT before timing
+                fn().count()
+            best = {m: float("inf") for m in modes}
+            hits, shuf = {}, {}
+            for _ in range(2):  # interleaved best-of-2 (skew_evidence note)
+                for m, fn in modes.items():
+                    n, sec, sb = _exec_count_with_shuffle(fn())
+                    hits[m], shuf[m] = n, sb
+                    best[m] = min(best[m], sec)
+            assert len(set(hits.values())) == 1, hits  # all plans agree
+            ev[f"store_probe_hits_{tag}"] = hits["bucketed"]
+            for m in modes:
+                ev[f"store_probe_sec_{m}_{tag}"] = round(best[m], 3)
+                ev[f"store_probe_shuffle_mb_{m}_{tag}"] = round(
+                    shuf[m] / 1e6, 2)
+            ev[f"store_shuffle_saved_vs_plain_{tag}"] = round(
+                (shuf["plain"] - shuf["bucketed"]) / max(shuf["plain"], 1), 4)
+            batch.unpersist()
+        t0, t1 = (f"{n // 1_000_000}m" for n in sizes)
+        ev["store_growth_factor"] = round(sizes[1] / sizes[0], 1)
+        ev["store_probe_growth_bucketed"] = round(
+            ev[f"store_probe_sec_bucketed_{t1}"]
+            / ev[f"store_probe_sec_bucketed_{t0}"], 2)
+        ev["store_probe_growth_broadcast"] = round(
+            ev[f"store_probe_sec_broadcast_{t1}"]
+            / ev[f"store_probe_sec_broadcast_{t0}"], 2)
+    finally:
+        spark.stop()
+    return ev
+
+
 def one_session(cpus: int, sf_dir: str, n_base: int, replicate: int, app: str):
     from go_cdc_chunkers_spark.session import get_spark
 
@@ -479,6 +631,11 @@ def main():
             }))
         finally:
             spark.stop()
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--store":
+        print(json.dumps({"metric": "incremental_store_probe",
+                          **store_evidence(cpus)}))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling":

@@ -14,9 +14,20 @@ This module keeps the store in Spark's bucketed-parquet layout instead:
     catalog.
   - every later batch-vs-store join then reads the store shuffle-free --
     the store-side FileScan reports `Bucketed: true` with NO Exchange above
-    it, and only the new batch is shuffled into the matching bucketing
-    (probe cost is O(batch), independent of store size). Pinned by
-    `tests/test_incremental_store.py::test_store_join_shuffles_probe_side_only`.
+    it, and only the new batch is shuffled into the matching bucketing.
+    Probe SHUFFLE cost is therefore O(batch); the store contributes a
+    shuffle-free scan. The scan itself remains O(store) -- that is the
+    floor for exact dedup against full history, and it is the cheap part: a
+    single-column columnar read with no network, no sort spill, no shuffle
+    write amplification. Pinned by tests/test_incremental_store.py;
+    measured bucketed-vs-plain in `python bench.py --store`.
+  - for batches small enough to broadcast (`probe_store(...,
+    broadcast_batch=True)`), the probe inverts: the batch's distinct hashes
+    broadcast to the store scan, and the surviving store hashes -- bounded
+    by the batch size -- broadcast back. The store is never shuffled or
+    sorted at all; the only shuffles are two batch-sized distincts. The
+    default SMJ path is the general one (a day's ingest at 10^12-clip
+    scale is ~10^9 chunk rows, too big to broadcast).
   - `register_chunk_store` re-attaches an existing store directory to a
     fresh session's catalog (`CREATE TABLE ... CLUSTERED BY ... LOCATION`),
     so jobs restart without rewriting anything.
@@ -86,11 +97,27 @@ def register_chunk_store(
     return spark.table(table)
 
 
-def probe_store(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
+def probe_store(
+    new_chunks: DataFrame, store: DataFrame, broadcast_batch: bool = False
+) -> DataFrame:
     """new-batch chunk rows whose hash already exists in the store
     (left_semi: presence only -- store-side duplicate hashes never multiply
     probe rows, so a boilerplate chunk repeated 10^9 times in the store
-    costs its bucket a scan, not a join blowup)."""
+    costs its bucket a scan, not a join blowup).
+
+    broadcast_batch=True is the small-batch fast path (module doc): the
+    batch's distinct hashes ride broadcast into the store scan and the
+    matching store hashes (<= batch size by construction) ride broadcast
+    back. The store is never shuffled OR sorted; the only shuffles are the
+    two batch-sized distincts."""
+    if broadcast_batch:
+        probe = new_chunks.select("chunk_hash").distinct()
+        hits = (
+            store.join(F.broadcast(probe), "chunk_hash", "left_semi")
+            .select("chunk_hash")
+            .distinct()
+        )
+        return new_chunks.join(F.broadcast(hits), "chunk_hash", "left_semi")
     return new_chunks.join(
         store.select("chunk_hash"), "chunk_hash", "left_semi"
     )

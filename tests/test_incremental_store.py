@@ -68,6 +68,22 @@ def test_probe_plan_bucketed_single_exchange(spark, corpus, no_broadcast):
     assert p.count("Exchange") == 1
 
 
+def test_broadcast_probe_same_rows_no_store_shuffle(spark, corpus, no_broadcast):
+    """The small-batch inverted probe returns identical rows with the store
+    feeding BroadcastHashJoins directly -- no SortMergeJoin, no store-side
+    Exchange or Sort (even with auto-broadcast off: the broadcasts are
+    explicit hints)."""
+    smj = incremental.probe_store(corpus["new"], corpus["store"])
+    inv = incremental.probe_store(corpus["new"], corpus["store"],
+                                  broadcast_batch=True)
+    key = lambda r: (r["clip_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(map(key, inv.collect())) == sorted(map(key, smj.collect()))
+    p = plan(inv)
+    assert "SortMergeJoin" not in p
+    # the only Exchanges are the two batch-sized distincts
+    assert p.count("Exchange hashpartitioning") == 2
+
+
 def test_exact_report_matches_python(spark, corpus):
     store_hashes = {bytes(r["chunk_hash"])
                     for r in corpus["store"].select("chunk_hash").collect()}

@@ -67,6 +67,12 @@ def main() -> None:
          "offset groupBy + max, two small joins for sizes. No Python, no "
          "cartesian.",
          None),  # filled below (needs a parquet round-trip)
+        ("incremental store probe (bucketed chunk store, SMJ path)",
+         "The store-side FileScan reads the persisted bucketing (Bucketed: "
+         "true) with NO Exchange above it; the single Exchange is the new "
+         "batch being shuffled into the store's bucketing. Probe shuffle is "
+         "O(batch); measured volumes in BASELINE.md (bench.py --store).",
+         None),  # filled below (needs a bucketed table on disk)
         ("oracle query: tpch_q1_pricing",
          "Filter + project pushed to parquet scan (PushedFilters/ReadSchema); "
          "one Exchange for the groupBy.",
@@ -92,8 +98,23 @@ def main() -> None:
             "clip_id string, bytes binary")
     ).write.mode("overwrite").parquet(fp_dir)
     fp_pairs = audio_fp.fingerprint_pairs(spark.read.parquet(fp_dir))
+
+    # incremental store probe: write a small bucketed store, plan the probe
+    # with broadcast off (the scale-representative SMJ shape)
+    from go_cdc_chunkers_spark.operators import incremental
+
+    st_dir = tempfile.mkdtemp(prefix="plans_store_")
+    incremental.write_chunk_store(
+        chunks.limit(5000), "plans_store", os.path.join(st_dir, "t"), n_buckets=8)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    probe = incremental.probe_store(chunks.limit(1000), spark.table("plans_store"))
+    plan_of(probe)  # materialize (and cache) the plan under no-broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    filled = iter([fp_pairs, probe])  # Nones in section-list order
     sections = [
-        (t, n, fp_pairs if d is None else d) for t, n, d in sections
+        (t, n, next(filled) if d is None else d) for t, n, d in sections
     ]
 
     out = io.StringIO()
