@@ -1633,6 +1633,54 @@ ORDER BY a, b
 """
 
 
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim coordinates per clip
+    (operators/multimodal.py:silence_trim) -- the dead-air drop a training
+    pipeline runs before chunking/fingerprinting. Silence is planted
+    deterministically (200 ms of zero PCM prepended / appended / both,
+    keyed by pmod(xxhash64(clip_id), 3)); frame energies are scaled to
+    integers and materialized, the trim itself is pure relational min/max
+    over the active subset, recomputed identically by DuckDB. The
+    threshold compare is integer (e9 >= 10^7 == energy >= 0.01),
+    bit-stable across engines."""
+    from .operators.multimodal import audio_frame_features, silence_trim
+
+    clips = load_clips(spark)
+    pad = F.lit(bytes(6400))  # 200 ms of s16le zeros @ 16 kHz, frame-aligned
+    sel = F.pmod(F.xxhash64("clip_id"), F.lit(3))
+    padded = clips.withColumn(
+        "bytes",
+        F.when(sel == 0, F.concat(pad, F.col("bytes")))
+        .when(sel == 1, F.concat(F.col("bytes"), pad))
+        .otherwise(F.concat(pad, F.col("bytes"), pad)),
+    )
+    ints = audio_frame_features(padded).select(
+        "clip_id", "frame_idx",
+        F.round(F.col("energy") * 1e9).cast("long").alias("e9"),
+    )
+    fr = _materialize(spark, ints, "audio_silence_frames")
+    return silence_trim(
+        fr.select("clip_id", "frame_idx", F.col("e9").alias("energy")),
+        threshold=10_000_000, frame_ms=20,
+    ).orderBy("clip_id")
+
+
+AUDIO_SILENCE_SQL = f"""
+WITH f AS (SELECT * FROM {_mat('audio_silence_frames')}),
+per AS (SELECT clip_id, count(*)::BIGINT AS n_frames FROM f GROUP BY 1),
+act AS (SELECT clip_id, min(frame_idx) AS fa, max(frame_idx) AS la,
+               count(*)::BIGINT AS active_frames
+        FROM f WHERE e9 >= 10000000 GROUP BY 1)
+SELECT per.clip_id, n_frames,
+       coalesce(fa, n_frames)::BIGINT AS lead_silence_frames,
+       coalesce(n_frames - 1 - la, n_frames)::BIGINT AS trail_silence_frames,
+       coalesce(active_frames, 0)::BIGINT AS active_frames,
+       (coalesce(la - fa + 1, 0) * 20)::BIGINT AS active_span_ms
+FROM per LEFT JOIN act ON per.clip_id = act.clip_id
+ORDER BY per.clip_id
+"""
+
+
 def incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup accounting: a new batch of clips probed against an
     accumulated chunk store (operators/incremental.py). Here the split is
@@ -1696,6 +1744,7 @@ QUERIES = {
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_simhash_guaranteed": doc_simhash_guaranteed,
     "audio_frame_energy": audio_frame_energy,
+    "audio_silence_trim": audio_silence_trim,
     "audio_fp_neardup": audio_fp_neardup,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
@@ -1742,6 +1791,7 @@ ORACLES = {
     "doc_simhash_pairs": DOC_SIMHASH_SQL,
     "doc_simhash_guaranteed": DOC_SIMHASH_GUARANTEED_SQL,
     "audio_frame_energy": AUDIO_FRAME_SQL,
+    "audio_silence_trim": AUDIO_SILENCE_SQL,
     "audio_fp_neardup": AUDIO_FP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,

@@ -132,14 +132,17 @@ def novel_chunks(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup_vs_store(new_chunks: DataFrame, store: DataFrame) -> DataFrame:
+def exact_dedup_vs_store(
+    new_chunks: DataFrame, store: DataFrame, broadcast_batch: bool = False
+) -> DataFrame:
     """Per-new-clip dedup accounting against the store:
     (clip_id, n_chunks, total_bytes, dup_chunks, dup_bytes, fully_dup).
     All integer/boolean -- bit-stable across engines. Every shuffle in this
     plan is keyed on the NEW batch (chunk_hash probe, clip_id aggregates);
-    the store contributes only its bucketed scan."""
+    the store contributes only its bucketed scan. broadcast_batch selects
+    probe_store's inverted small-batch plan."""
     dup = (
-        probe_store(new_chunks, store)
+        probe_store(new_chunks, store, broadcast_batch=broadcast_batch)
         .groupBy("clip_id")
         .agg(
             F.count("*").cast("long").alias("_dup_chunks"),

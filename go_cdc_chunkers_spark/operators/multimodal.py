@@ -101,6 +101,43 @@ def audio_frame_features(
     return clips.select(*cols).mapInPandas(gen, schema=FRAME_FEATURES_SCHEMA)
 
 
+def silence_trim(
+    frames: DataFrame,
+    threshold: float = 0.01,
+    frame_ms: int = 20,
+) -> DataFrame:
+    """Per-clip leading/trailing silence over an audio_frame_features
+    relation: a frame is silent when RMS energy < threshold. Returns
+    (clip_id, n_frames, lead_silence_frames, trail_silence_frames,
+    active_frames, active_span_ms) -- the trim coordinates a training
+    pipeline uses to drop dead air before chunking/fingerprinting.
+
+    Pure relational min/max over the active subset (all JVM, one groupBy
+    per side, co-keyed on clip_id); an all-silent clip reports
+    lead = n_frames, active span 0. Works identically on the streaming
+    frame relation (stateless projections + aggregations)."""
+    per = frames.groupBy("clip_id").agg(F.count("*").cast("long").alias("n_frames"))
+    act = (
+        frames.filter(F.col("energy") >= threshold)
+        .groupBy("clip_id")
+        .agg(
+            F.min("frame_idx").alias("_fa"),
+            F.max("frame_idx").alias("_la"),
+            F.count("*").cast("long").alias("_active"),
+        )
+    )
+    return per.join(act, "clip_id", "left").select(
+        "clip_id",
+        "n_frames",
+        F.coalesce("_fa", F.col("n_frames")).cast("long").alias("lead_silence_frames"),
+        F.coalesce(F.col("n_frames") - 1 - F.col("_la"), F.col("n_frames"))
+        .cast("long").alias("trail_silence_frames"),
+        F.coalesce("_active", F.lit(0)).cast("long").alias("active_frames"),
+        (F.coalesce(F.col("_la") - F.col("_fa") + 1, F.lit(0)) * frame_ms)
+        .cast("long").alias("active_span_ms"),
+    )
+
+
 def audio_frame_sample(
     clips: DataFrame,
     every_n: int = 10,

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Incremental chunk-store maintenance (operators/incremental.py) as a
+spark-submit job: keep a bucketed dedup store across ingest batches and
+report each batch's dup/novel accounting against it. Prints ONE JSON
+document per command.
+
+    python jobs/store.py init   --store DIR [--buckets 64] --path SRC [--glob G]
+    python jobs/store.py report --store DIR --path SRC [--broadcast-batch]
+    python jobs/store.py append --store DIR --path SRC
+
+`--path` accepts a directory of payload files (binaryFile tree,
+sources/files.py) or a parquet clips table (`--format parquet`). The store
+lives at --store as a bucketed parquet table; commands re-attach it to the
+session catalog (register_chunk_store), so runs are independent
+spark-submit invocations. `report` prints per-clip accounting plus corpus
+totals (bytes the store already holds = write elimination); `append` grows
+the store by the batch's first-occurrence novel hashes. Cluster usage
+mirrors jobs/pipeline.py (--py-files dist zip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCHEMA_DDL = ("clip_id STRING, algo STRING, chunk_idx INT, offset BIGINT, "
+              "length INT, chunk_hash BINARY")
+TABLE = "chunk_store"
+
+
+def _chunks(spark, args):
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    from go_cdc_chunkers_spark.operators.chunking import chunk_clips
+
+    if args.format == "parquet":
+        clips = spark.read.parquet(args.path)
+    else:
+        from go_cdc_chunkers_spark.sources.files import clips_from_files
+
+        clips = clips_from_files(spark, args.path, glob=args.glob,
+                                 codec=args.codec, sr_hz=args.sr_hz)
+    opts = ChunkerOpts(min_size=args.min_size, normal_size=args.normal_size,
+                       max_size=args.max_size) if args.normal_size else None
+    # offset is part of the store schema; chunk_clips emits it
+    return chunk_clips(clips, args.algo, opts)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["init", "report", "append"])
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--path", required=True)
+    ap.add_argument("--format", choices=["files", "parquet"], default="files")
+    ap.add_argument("--glob", default=None)
+    ap.add_argument("--codec", default="pcm_s16le")
+    ap.add_argument("--sr-hz", type=int, default=16000)
+    ap.add_argument("--algo", default="fastcdc-v1.0.0")
+    ap.add_argument("--min-size", type=int, default=None)
+    ap.add_argument("--normal-size", type=int, default=None)
+    ap.add_argument("--max-size", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--broadcast-batch", action="store_true",
+                    help="small-batch inverted probe (store never shuffled/sorted)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from go_cdc_chunkers_spark.operators import incremental
+    from go_cdc_chunkers_spark.session import get_spark
+
+    spark = get_spark(app=f"store-{args.cmd}", cpus=args.cpus)
+    try:
+        batch = _chunks(spark, args)
+        if args.cmd == "init":
+            if os.path.exists(os.path.join(args.store, "_SUCCESS")):
+                raise SystemExit(f"store already exists at {args.store}")
+            incremental.write_chunk_store(batch, TABLE, args.store,
+                                          n_buckets=args.buckets)
+            store = spark.table(TABLE)
+            out = {"cmd": "init", "store": args.store,
+                   "rows": store.count(), "buckets": args.buckets}
+        else:
+            store = incremental.register_chunk_store(
+                spark, TABLE, args.store, SCHEMA_DDL, n_buckets=args.buckets)
+            if args.cmd == "report":
+                rep = incremental.exact_dedup_vs_store(
+                    batch, store, broadcast_batch=args.broadcast_batch
+                ).orderBy("clip_id")
+                rows = [r.asDict() for r in rep.collect()]
+                out = {
+                    "cmd": "report", "store": args.store, "n_clips": len(rows),
+                    "dup_bytes": sum(r["dup_bytes"] for r in rows),
+                    "novel_bytes": sum(r["total_bytes"] - r["dup_bytes"]
+                                       for r in rows),
+                    "fully_dup_clips": sum(1 for r in rows if r["fully_dup"]),
+                    "clips": rows,
+                }
+            else:  # append
+                before = store.count()
+                incremental.append_novel(spark, batch, TABLE, args.store,
+                                         n_buckets=args.buckets)
+                after = spark.table(TABLE).count()
+                out = {"cmd": "append", "store": args.store,
+                       "rows_before": before, "rows_added": after - before,
+                       "rows_after": after}
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,6 +153,53 @@ def test_append_novel_then_batch_fully_dup(spark, corpus):
     assert spark.table("t_incr_store").count() == n1
 
 
+def test_store_cli_init_report_append_cycle(tmp_path):
+    """jobs/store.py end-to-end: init a store from tree A, report tree B
+    (one exact copy of an A file, one novel file), append, report again --
+    the copy is fully_dup up front, everything is fully_dup after append,
+    and the append adds only the novel file's chunks."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    rng = np.random.default_rng(5)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for i in range(4):
+        (a / f"clip{i}.pcm").write_bytes(
+            rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes())
+    (b / "dup0.pcm").write_bytes((a / "clip0.pcm").read_bytes())
+    (b / "new0.pcm").write_bytes(
+        rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes())
+
+    job = Path(__file__).parent.parent / "jobs" / "store.py"
+    store = str(tmp_path / "store")
+    sizing = ["--min-size", "256", "--normal-size", "1024", "--max-size", "8192"]
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, str(job), *argv, "--store", store, "--cpus", "4",
+             *sizing],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    init = run("init", "--path", str(a))
+    assert init["rows"] > 0
+
+    rep = run("report", "--path", str(b))
+    flags = {Path(c["clip_id"]).name: c["fully_dup"] for c in rep["clips"]}
+    assert flags == {"dup0.pcm": True, "new0.pcm": False}
+    assert rep["dup_bytes"] == rep["novel_bytes"] == 50_000
+
+    app = run("append", "--path", str(b))
+    assert 0 < app["rows_added"] < init["rows"]  # only new0's chunks
+
+    rep2 = run("report", "--path", str(b), "--broadcast-batch")
+    assert rep2["fully_dup_clips"] == rep2["n_clips"] == 2
+
+
 def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_broadcast):
     # store: clip A shares band (0, 111) with the new clip X; a boilerplate
     # band (1, 999) is shared by 100 store clips AND new clip Y

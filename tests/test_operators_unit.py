@@ -185,6 +185,39 @@ def test_audio_frame_features_match_numpy(spark):
     assert abs(got0.zcr - 880 / 16000) < 0.01
 
 
+def test_silence_trim_lead_trail_and_all_silent(spark):
+    """silence_trim over a clip with 5 leading + 3 trailing silent frames,
+    one fully-silent clip (null-branch coverage), and one fully-active
+    clip."""
+    from go_cdc_chunkers_spark.operators.multimodal import (
+        audio_frame_features, silence_trim)
+
+    sr, w = 16000, 320  # 20 ms frames
+    loud = (np.full(w, 8000, dtype="<i2"))
+    z = np.zeros(w, dtype="<i2")
+    mk = lambda *frs: bytearray(np.concatenate(frs).tobytes())  # noqa: E731
+    rows = [
+        ("mixed", mk(*([z] * 5), *([loud] * 10), *([z] * 3))),
+        ("silent", mk(*([z] * 8))),
+        ("active", mk(*([loud] * 4))),
+    ]
+    df = spark.createDataFrame(
+        [(c, b, sr, 0, "pcm_s16le") for c, b in rows],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    got = {r["clip_id"]: r.asDict()
+           for r in silence_trim(audio_frame_features(df)).collect()}
+    assert got["mixed"] == dict(clip_id="mixed", n_frames=18,
+                                lead_silence_frames=5, trail_silence_frames=3,
+                                active_frames=10, active_span_ms=200)
+    assert got["silent"] == dict(clip_id="silent", n_frames=8,
+                                 lead_silence_frames=8, trail_silence_frames=8,
+                                 active_frames=0, active_span_ms=0)
+    assert got["active"]["lead_silence_frames"] == 0
+    assert got["active"]["trail_silence_frames"] == 0
+    assert got["active"]["active_span_ms"] == 80
+
+
 def test_image_features_stub_and_fake(spark):
     from go_cdc_chunkers_spark.operators.multimodal import image_features
 
