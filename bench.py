@@ -478,7 +478,7 @@ def chunk_only_session(cpus: int, n_base: int, replicate: int):
         spark.stop()
 
 
-def pipeline_session(cpus: int, n_base: int):
+def pipeline_session(cpus: int, n_base: int, exact_first: bool = False):
     """One fresh-JVM pipeline run; returns clips/sec + per-stage seconds
     (from the pipeline's own lineage rows)."""
     from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
@@ -492,7 +492,8 @@ def pipeline_session(cpus: int, n_base: int):
         clips = spark.read.parquet(corpus).repartition(cpus * 2).cache()
         clips.count()
         cfg = PipelineConfig(chunk_opts=ChunkerOpts(
-            min_size=256, normal_size=1024, max_size=8192))
+            min_size=256, normal_size=1024, max_size=8192),
+            exact_first=exact_first)
         pipe = Pipeline(spark, wd, cfg)
         t = time.time()
         pipe.run(clips).count()
@@ -604,7 +605,53 @@ def main():
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-one":
-        print(json.dumps(pipeline_session(int(sys.argv[2]), int(sys.argv[3]))))
+        print(json.dumps(pipeline_session(
+            int(sys.argv[2]), int(sys.argv[3]),
+            exact_first=len(sys.argv) > 4 and sys.argv[4] == "exact")))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--exact-first":
+        # canonical-first savings: same corpus, fresh JVM each, off vs on.
+        # The corpus carries dup_frac=0.2 exact copies (CORPUS_KW); at
+        # 10^12-clip scale re-upload fractions are far higher, so the
+        # measured per-stage savings scale with the dup fraction.
+        import subprocess
+
+        # Interleaved fresh JVMs, PER-STAGE minima across rounds: single-
+        # shot stage times on this box swing up to several x (noisy-
+        # neighbor windows -- one observed run had chunks_pcm at 49 s vs a
+        # 1.3 s isolated steady-state), so whole-run best-of-N still
+        # compares one run's noise against another's. The per-stage min is
+        # each stage's demonstrated steady-state cost; sum_stage_min_* is
+        # the noise-robust comparison.
+        rounds = 3
+        stage_min: dict = {"off": {}, "exact": {}}
+        total_min = {"off": float("inf"), "exact": float("inf")}
+        n_clips = None
+        for _ in range(rounds):
+            for mode in ("off", "exact"):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-one", str(cpus), str(n_base), mode],
+                    capture_output=True, text=True, timeout=1800)
+                assert r.returncode == 0, r.stderr[-2000:]
+                run = json.loads(r.stdout.strip().splitlines()[-1])
+                n_clips = run["n_clips"]
+                total_min[mode] = min(total_min[mode], run["sec"])
+                for st, sec in run["stage_sec"].items():
+                    cur = stage_min[mode].get(st)
+                    stage_min[mode][st] = sec if cur is None else min(cur, sec)
+        sums = {m: round(sum(stage_min[m].values()), 3) for m in stage_min}
+        print(json.dumps({
+            "metric": "pipeline_exact_first",
+            "n_clips": n_clips,
+            "sec_off": total_min["off"], "sec_exact": total_min["exact"],
+            "sum_stage_min_off": sums["off"],
+            "sum_stage_min_exact": sums["exact"],
+            "speedup_stage_min": round(sums["off"] / sums["exact"], 3),
+            "stage_sec_off": stage_min["off"],
+            "stage_sec_exact": stage_min["exact"],
+        }))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-scale":

@@ -78,6 +78,20 @@ class PipelineConfig:
     # (tools/profile_kernels.py) and rare collisions only perturb an
     # already-approximate estimator.
     digest_kind: str = "sha256"
+    # Canonical-first: collapse byte-identical clips to one canonical
+    # (min clip_id per sha256(bytes)) BEFORE chunking, run every expensive
+    # stage on distinct content only, and expand components back at the
+    # end. Provably lossless for clustering: identical bytes yield
+    # identical chunks/signatures/bands, so an exact copy reaches exactly
+    # the clusters its canonical reaches -- and because the canonical is
+    # the min id of its group, final component labels (min id of the
+    # component) are IDENTICAL to the non-collapsed run, pinned by
+    # tests/test_pipeline_recall.py::test_exact_first_identical_components.
+    # At 10^12-clip scale re-uploads dominate ingest, so this removes the
+    # exact-dup fraction from chunking, MinHash, banding, and the
+    # candidate join; cost is one sha256 projection + one groupBy on a
+    # 32-byte key (uniform, skew-free).
+    exact_first: bool = False
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -145,8 +159,33 @@ class Pipeline:
 
     # -- stages ------------------------------------------------------------
 
+    @staticmethod
+    def _exact_groups(clips: DataFrame) -> DataFrame:
+        """(clip_id, canonical_id): canonical = min clip_id among
+        byte-identical clips. One JVM sha256 projection + one groupBy on
+        the digest (uniform key, no skew) + one map-side join back."""
+        h = clips.select("clip_id", F.sha2(F.col("bytes"), 256).alias("_h"))
+        canon = h.groupBy("_h").agg(F.min("clip_id").alias("canonical_id"))
+        return h.join(canon, "_h").select("clip_id", "canonical_id")
+
     def run(self, clips: DataFrame) -> DataFrame:
         cfg = self.cfg
+
+        groups = None
+        if cfg.exact_first:
+            groups = self.stage("exact_groups", lambda: self._exact_groups(clips))
+            canon = groups.filter(
+                F.col("clip_id") == F.col("canonical_id")).select("clip_id")
+            # Broadcast the id list and materialize the filtered clips ONCE:
+            # left lazy, every downstream stage re-executes the semi-join,
+            # and a non-broadcast plan would shuffle the clip BYTES (first
+            # measurement: sig_text 2.2 s -> 11.9 s; with this, every stage
+            # shrinks by the dup fraction instead). At 10^12 clips the rows
+            # are (pointer, metadata) with bytes in object storage, so the
+            # id-keyed semi-join is a pointer shuffle either way.
+            clips = clips.join(
+                F.broadcast(canon), "clip_id", "left_semi").cache()
+            clips.count()
 
         chunks = self.stage(
             "chunks_pcm",
@@ -182,7 +221,18 @@ class Pipeline:
                     min_matches=cfg.audio_fp_min_matches,
                 ),
             )
-        return self.cluster(clips, sig_pcm, sig_text, sim, extra_edges)
+        comps = self.cluster(clips, sig_pcm, sig_text, sim, extra_edges)
+        if groups is None:
+            return comps
+        # expand canonical components to every exact copy; labels are
+        # unchanged (the canonical IS the min id of its exact group)
+        return self.stage(
+            "components_expanded",
+            lambda: groups.join(
+                comps.withColumnRenamed("clip_id", "canonical_id"),
+                "canonical_id",
+            ).select("clip_id", "component_id"),
+        )
 
     def cluster(
         self,

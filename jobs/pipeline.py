@@ -42,6 +42,10 @@ def main() -> int:
                          "(PipelineConfig.use_audio_fp)")
     ap.add_argument("--digest", choices=["sha256", "poly128"], default="sha256",
                     help="chunk identity hash (poly128 = cheap near-dup identity)")
+    ap.add_argument("--exact-first", action="store_true",
+                    help="collapse byte-identical clips before the expensive "
+                         "stages; identical components, dup fraction skipped "
+                         "(PipelineConfig.exact_first)")
     args = ap.parse_args()
 
     from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
@@ -66,7 +70,7 @@ def main() -> int:
         return 2
 
     cfg = PipelineConfig(algorithm=args.algorithm, use_audio_fp=args.audio_fp,
-                         digest_kind=args.digest)
+                         digest_kind=args.digest, exact_first=args.exact_first)
     t0 = time.time()
     pipe = Pipeline(spark, args.workdir, cfg)
     comps = pipe.run(clips)

@@ -116,6 +116,29 @@ def test_resume_idempotent(pipeline_run, synth, spark):
     assert pipe3.lineage_table().count() == n_lineage_before + 1
 
 
+def test_exact_first_identical_components(pipeline_run, synth, spark, tmp_path_factory):
+    """Canonical-first clustering (PipelineConfig.exact_first): collapsing
+    byte-identical clips before the expensive stages yields IDENTICAL
+    (clip_id, component_id) assignments -- the canonical is the min id of
+    its exact group, so even the labels match -- while chunking strictly
+    fewer clips (the dup_frac fraction skipped)."""
+    df, rows, truth = synth
+    _pipe, _wd, comp_rows = pipeline_run
+    wd = str(tmp_path_factory.mktemp("pipe_exact"))
+    pipe = Pipeline(spark, wd, PipelineConfig(exact_first=True))
+    got = pipe.run(df).collect()
+    assert sorted((r.clip_id, r.component_id) for r in got) == sorted(
+        (r.clip_id, r.component_id) for r in comp_rows
+    )
+    groups = spark.read.parquet(f"{wd}/exact_groups")
+    n_clips = df.count()
+    n_canon = groups.filter(F.col("clip_id") == F.col("canonical_id")).count()
+    assert n_canon < n_clips  # the fixture's dup_frac was actually skipped
+    # the chunking stage saw only canonicals
+    chunked = spark.read.parquet(f"{wd}/chunks_pcm").select("clip_id").distinct().count()
+    assert chunked <= n_canon
+
+
 def test_per_row_invariant_decode_and_transcript(synth, spark):
     """BASELINE.json input_hint: decoded-PCM allclose (SNR >= 30 dB) +
     transcript equality, checked per row through the Spark path."""
