@@ -163,6 +163,18 @@ def exact_dedup_vs_store(
     )
 
 
+def first_occurrence(chunks: DataFrame) -> DataFrame:
+    """One deterministic row per distinct hash: min_by (clip_id, chunk_idx).
+    The store-growth canonicalization (same rows on every re-run)."""
+    picked = chunks.groupBy("chunk_hash").agg(
+        F.min_by(
+            F.struct(*[c for c in chunks.columns if c != "chunk_hash"]),
+            F.struct("clip_id", "chunk_idx"),
+        ).alias("_r")
+    )
+    return picked.select("chunk_hash", "_r.*").select(*chunks.columns)
+
+
 def append_novel(
     spark: SparkSession,
     new_chunks: DataFrame,
@@ -170,19 +182,13 @@ def append_novel(
     path: str,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Grow the store by this batch's novel content: one deterministic row
-    per previously-unseen hash (min_by (clip_id, chunk_idx) -- re-running
-    the same batch appends the same rows; true idempotence needs the
-    batch-marker protocol of plans/pipeline.py on top)."""
+    """Grow the store by this batch's novel content: one first_occurrence
+    row per previously-unseen hash. Replay-idempotent at the hash level: a
+    committed batch's hashes are all present, so its replay's anti-join is
+    empty; a batch that failed before commit left nothing visible and
+    replays whole."""
     store = spark.table(table)
-    nov = novel_chunks(new_chunks, store)
-    picked = nov.groupBy("chunk_hash").agg(
-        F.min_by(
-            F.struct(*[c for c in nov.columns if c != "chunk_hash"]),
-            F.struct("clip_id", "chunk_idx"),
-        ).alias("_r")
-    )
-    first = picked.select("chunk_hash", "_r.*").select(*new_chunks.columns)
+    first = first_occurrence(novel_chunks(new_chunks, store))
     write_chunk_store(first, table, path, n_buckets=n_buckets, mode="append")
 
 

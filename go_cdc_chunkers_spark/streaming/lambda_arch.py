@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import chunking, signatures
 from ..plans.pipeline import Pipeline, PipelineConfig
@@ -38,7 +39,13 @@ from .ingest import stream_clips
 
 CLIP_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 STORE_TABLES = ("clips", "chunks_pcm", "sig_pcm", "sig_text", "simhash_text",
-                "audio_fp")
+                "audio_fp", "dedup_report")
+
+# cross-history chunk store (history_dedup): the bucketed layout of
+# operators/incremental.py, tagged with the contributing micro-batch
+HISTORY_TABLE = "stream_chunk_history"
+HISTORY_DDL = ("clip_id STRING, algo STRING, chunk_idx INT, offset BIGINT, "
+               "length INT, chunk_hash BINARY, ingest_batch BIGINT")
 
 
 def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
@@ -47,8 +54,51 @@ def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
     )
 
 
-def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None):
-    """The foreachBatch body: per-clip stages -> idempotent store appends."""
+def _history_dedup_step(chunks: DataFrame, store_dir: str, batch_id: int,
+                        n_buckets: int) -> None:
+    """Cross-HISTORY exact dedup on the stream: probe this batch's chunks
+    against the accumulated bucketed chunk store (every batch ever ingested,
+    not just the watermark horizon that bounds
+    ingest.streaming_exact_dedup's state), land a per-batch dedup report,
+    and grow the store by the batch's novel hashes.
+
+    Replay-safe end to end: the probe EXCLUDES rows this batch contributed
+    (ingest_batch filter), so a replayed batch reproduces its original
+    report bit-for-bit and overwrites the same report directory; the store
+    append is an anti-join against what is already present, so a committed
+    batch's replay appends nothing. The store is the streaming 'state' --
+    unbounded history, zero state-store memory, probed with the bucketed
+    SMJ that shuffles only the batch (operators/incremental.py)."""
+    from ..operators import incremental
+
+    spark = chunks.sparkSession
+    hist_path = os.path.join(store_dir, "chunk_history")
+    tagged = chunks.withColumn("ingest_batch", F.lit(int(batch_id)).cast("long"))
+    first_batch = not os.path.exists(os.path.join(hist_path, "_SUCCESS"))
+    if first_batch:
+        hist = tagged.limit(0)  # empty store: everything is novel
+    else:
+        hist = incremental.register_chunk_store(
+            spark, HISTORY_TABLE, hist_path, HISTORY_DDL, n_buckets=n_buckets
+        ).filter(F.col("ingest_batch") != int(batch_id))
+    report = incremental.exact_dedup_vs_store(chunks, hist)
+    _append(report, store_dir, "dedup_report", batch_id)
+    if first_batch:
+        incremental.write_chunk_store(
+            incremental.first_occurrence(tagged), HISTORY_TABLE, hist_path,
+            n_buckets=n_buckets)
+    else:
+        incremental.append_novel(spark, tagged, HISTORY_TABLE, hist_path,
+                                 n_buckets=n_buckets)
+
+
+def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None,
+                        history_dedup: bool = False,
+                        history_buckets: int = 64):
+    """The foreachBatch body: per-clip stages -> idempotent store appends.
+    history_dedup additionally probes/grows the bucketed chunk history
+    (_history_dedup_step) so each micro-batch learns which of its content
+    the FULL ingest history has already seen."""
     cfg = cfg or PipelineConfig()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,6 +114,9 @@ def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None):
                     signatures.minhash_signatures(chunks, k=cfg.k),
                     store_dir, "sig_pcm", batch_id,
                 )
+                if history_dedup:
+                    _history_dedup_step(chunks, store_dir, batch_id,
+                                        history_buckets)
             finally:
                 chunks.unpersist()
             _append(
@@ -95,6 +148,7 @@ def ingest_signatures_stream(
     store_dir: str,
     cfg: PipelineConfig | None = None,
     max_files_per_trigger: int = 4,
+    history_dedup: bool = False,
 ):
     """Start the speed layer. The checkpoint lives inside the store, so a
     restarted stream resumes after the last committed batch and re-ingests
@@ -102,7 +156,8 @@ def ingest_signatures_stream(
     own directory -- see module docstring). Returns the StreamingQuery."""
     return (
         stream_clips(spark, src_path, max_files_per_trigger)
-        .writeStream.foreachBatch(make_signature_sink(store_dir, cfg))
+        .writeStream.foreachBatch(
+            make_signature_sink(store_dir, cfg, history_dedup=history_dedup))
         .option("checkpointLocation", os.path.join(store_dir, "_checkpoint"))
         .start()
     )

@@ -355,3 +355,52 @@ def test_lambda_stream_spectral_channel(spark, tmp_path):
     label = {r.clip_id: r.component_id
              for r in cluster_store(spark, store, str(tmp_path / "run2"), cfg).collect()}
     assert label["stream-jitter"] == label[base["clip_id"]]
+
+
+def test_lambda_history_dedup_report_and_replay(spark, tmp_path):
+    """Cross-history exact dedup on the stream (history_dedup): micro-batch
+    1 carries an exact copy of a batch-0 clip plus a novel clip -- the
+    per-batch dedup report marks the copy fully_dup against the
+    accumulated chunk history and the history grows by only the novel
+    hashes; REPLAYING batch 1 (foreachBatch at-least-once contract)
+    reproduces the identical report and appends nothing."""
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        HISTORY_TABLE, make_signature_sink, read_store)
+
+    rows, _truth = clips_src.generate_clips(
+        n_base=8, dup_frac=0.0, near_frac=0.0, n_const=0, seed=11)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    copy = dict(rows[0], clip_id="copy-of-0")
+    novel = dict(rows[-1], clip_id="novel")
+    novel["bytes"] = bytes(255 - b for b in rows[-1]["bytes"])
+
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store, history_dedup=True, history_buckets=8)
+    sink(df_of(rows[:6]), 0)
+    sink(df_of([copy, novel]), 1)
+
+    rep = {r["clip_id"]: r.asDict()
+           for r in read_store(spark, store, "dedup_report")
+           .filter("batch = 1").drop("batch").collect()}
+    assert rep["copy-of-0"]["fully_dup"] is True
+    assert rep["novel"]["dup_chunks"] == 0
+
+    hist = spark.table(HISTORY_TABLE)
+    n_before = hist.count()
+    # history holds one row per distinct hash, none from the dup copy
+    assert hist.filter("clip_id = 'copy-of-0'").count() == 0
+    assert hist.filter("clip_id = 'novel'").count() > 0
+
+    sink(df_of([copy, novel]), 1)  # replay
+    rep2 = {r["clip_id"]: r.asDict()
+            for r in read_store(spark, store, "dedup_report")
+            .filter("batch = 1").drop("batch").collect()}
+    assert rep2 == rep
+    assert spark.table(HISTORY_TABLE).count() == n_before
