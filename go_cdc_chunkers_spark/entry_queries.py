@@ -1726,6 +1726,57 @@ ORDER BY tot.clip_id
 """
 
 
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup candidates vs an accumulated band store
+    (operators/incremental.py:near_dup_candidates_vs_store): even-doc_id
+    documents are "the store", odd are "the batch"; the batch's LSH bands
+    probe the store's with stop-band pruning (store bands matching > max_df
+    docs are boilerplate and dropped on both sides BEFORE the join -- the
+    skew control). md5 band family so the oracle replays the full method
+    relationally from the materialized band relation. Production persists
+    the store side bucketed (write_band_store; plan pinned in
+    tests/test_incremental_store.py)."""
+    from .operators import incremental
+    from .operators.dedup_text import md5_lsh_bands, md5_minhash_signatures
+
+    docs = _table(spark, sf_dir, "documents")
+    bands = md5_lsh_bands(md5_minhash_signatures(docs, k=16, n=3), k=16, bands=4)
+    mat = _materialize(
+        spark,
+        bands.withColumn("in_store", F.col("doc_id") % 2 == 0),
+        "incremental_near_dup_bands",
+    )
+    ren = mat.withColumnRenamed("doc_id", "clip_id")
+    pairs = incremental.near_dup_candidates_vs_store(
+        ren.filter(~F.col("in_store")), ren.filter(F.col("in_store")), max_df=8
+    )
+    return pairs.select(
+        F.col("new_clip").cast("long").alias("a"),
+        F.col("store_clip").cast("long").alias("b"),
+    ).orderBy("a", "b")
+
+
+INCREMENTAL_NEAR_DUP_SQL = f"""
+WITH b AS (SELECT * FROM {_mat('incremental_near_dup_bands')}),
+sb AS (SELECT * FROM b WHERE in_store),
+nb AS (SELECT * FROM b WHERE NOT in_store),
+hot AS (
+  SELECT band_id, band_hash FROM (
+    SELECT band_id, band_hash, count(DISTINCT doc_id) AS df
+    FROM sb GROUP BY 1, 2
+  ) WHERE df > 8
+),
+sk AS (SELECT * FROM sb WHERE NOT EXISTS (
+  SELECT 1 FROM hot h WHERE h.band_id = sb.band_id AND h.band_hash = sb.band_hash)),
+nk AS (SELECT * FROM nb WHERE NOT EXISTS (
+  SELECT 1 FROM hot h WHERE h.band_id = nb.band_id AND h.band_hash = nb.band_hash))
+SELECT DISTINCT nk.doc_id::BIGINT AS a, sk.doc_id::BIGINT AS b
+FROM nk JOIN sk ON nk.band_id = sk.band_id AND nk.band_hash = sk.band_hash
+WHERE nk.doc_id <> sk.doc_id
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -1768,11 +1819,13 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
     "incremental_store_dedup": incremental_store_dedup,
+    "incremental_near_dup": incremental_near_dup,
 }
 
 ORACLES = {
     "doc_winnow_fingerprint": DOC_WINNOW_SQL,
     "incremental_store_dedup": INCREMENTAL_STORE_SQL,
+    "incremental_near_dup": INCREMENTAL_NEAR_DUP_SQL,
     "ann_ivf_topk": _ivf_sql(),
     "tpch_q14_promo": TPCH_Q14_SQL,
     "revenue_rollup_totals": REVENUE_ROLLUP_TOTALS_SQL,

@@ -106,14 +106,10 @@ def md5_minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFram
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def md5_lsh_pairs(
-    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
-    est_threshold: float = 0.5,
-) -> DataFrame:
-    """Banded LSH over the md5 MinHash (rows_per_band = k/bands), candidate
-    pairs on any band collision, verified by the signature-agreement
-    estimate. One explode + one self-join keyed (band_id, band_hash)."""
-    sig = md5_minhash_signatures(docs, k, n)
+def md5_lsh_bands(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) from an md5_minhash_signatures relation:
+    band_hash = md5 over the band's r = k/bands signature columns. Pure
+    projection + explode (no shuffle)."""
     r = k // bands
     band_arr = F.array(
         *[
@@ -126,9 +122,20 @@ def md5_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    bands_df = sig.select("doc_id", F.explode(band_arr).alias("_b")).select(
+    return sig.select("doc_id", F.explode(band_arr).alias("_b")).select(
         "doc_id", F.col("_b.band_id").alias("band_id"), F.col("_b.band_hash").alias("band_hash")
     )
+
+
+def md5_lsh_pairs(
+    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded LSH over the md5 MinHash (rows_per_band = k/bands), candidate
+    pairs on any band collision, verified by the signature-agreement
+    estimate. One explode + one self-join keyed (band_id, band_hash)."""
+    sig = md5_minhash_signatures(docs, k, n)
+    bands_df = md5_lsh_bands(sig, k, bands)
     la = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("a"))
     lb = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("b"))
     cand = (
