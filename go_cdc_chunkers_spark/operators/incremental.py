@@ -48,11 +48,75 @@ chunk relation.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64  # sandbox-sized; ~4-8 MB target bucket files. At the
 # 10^14-row scale SCALE.md sizes, this is O(10^5) buckets (store_TB / 0.5 GB).
+
+_META_FILE = "_store_meta.json"
+
+
+def _canon_cols(df: DataFrame) -> list[list[str]]:
+    """Order- and nullability-insensitive column contract: parquet resolves
+    columns by name across files, and nullability drifts through aggregates
+    (e.g. first_occurrence loses a literal's NOT NULL) without affecting
+    the data."""
+    return sorted([f.name.lower(), f.dataType.simpleString()]
+                  for f in df.schema.fields)
+
+
+def _store_meta_of(df: DataFrame, bucket_cols: list[str], n_buckets: int) -> dict:
+    return {
+        "bucket_cols": bucket_cols,
+        "n_buckets": int(n_buckets),
+        "schema_ddl": df._jdf.schema().toDDL(),
+        "columns": _canon_cols(df),
+    }
+
+
+def _bucketed_write(df: DataFrame, table: str, path: str,
+                    bucket_cols: list[str], n_buckets: int, mode: str) -> None:
+    """Bucketed external-table write with a self-describing contract: the
+    bucketing (cols, count, schema) is persisted in _store_meta.json beside
+    the data, so re-attachment can never declare a different bucketing than
+    the files were written with (Spark trusts the DDL -- a mismatch would
+    silently mis-bucket every join), and appends with a drifted
+    bucketing/schema fail fast instead of corrupting the layout."""
+    meta = _store_meta_of(df, bucket_cols, n_buckets)
+    mp = os.path.join(path, _META_FILE)
+    appending = mode == "append" and os.path.exists(mp)
+    if appending:
+        old = json.load(open(mp))
+        drift = {k: (old.get(k), meta[k])
+                 for k in ("bucket_cols", "n_buckets", "columns")
+                 if old.get(k) != meta[k]}
+        if drift:
+            raise ValueError(
+                f"append bucketing/schema mismatch at {path}: {drift}")
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    if not appending:  # keep the original write's DDL; overwrite clears path
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+
+
+def read_store_meta(path: str) -> dict:
+    mp = os.path.join(path, _META_FILE)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"no {_META_FILE} at {path}: not a store written by "
+            "write_chunk_store/write_band_store")
+    return json.load(open(mp))
 
 
 def write_chunk_store(
@@ -65,34 +129,42 @@ def write_chunk_store(
     """Persist a chunks relation (clip_id, chunk_hash, length, ...) as a
     bucketed external table at `path`. `mode="append"` adds a batch to an
     existing store (bucket files accumulate; compaction is a rewrite with
-    the same bucketing)."""
-    (
-        chunks.write.bucketBy(n_buckets, "chunk_hash")
-        .sortBy("chunk_hash")
-        .mode(mode)
-        .format("parquet")
-        .option("path", path)
-        .saveAsTable(table)
-    )
+    the same bucketing). The bucketing contract lands in _store_meta.json
+    beside the data (appends with a different bucketing/schema fail)."""
+    _bucketed_write(chunks, table, path, ["chunk_hash"], n_buckets, mode)
 
 
 def register_chunk_store(
     spark: SparkSession,
     table: str,
     path: str,
-    schema_ddl: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    schema_ddl: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Attach an existing bucketed store directory to this session's catalog
     (fresh sessions have an empty in-memory/derby catalog; the data and its
-    bucket-file naming survive on disk). `schema_ddl` example:
-    "clip_id STRING, chunk_hash BINARY, length INT". The declared bucketing
-    must match what `write_chunk_store` used, or joins would be silently
-    mis-bucketed -- Spark trusts the DDL."""
+    bucket-file naming survive on disk). The bucketing and schema come from
+    the store's own _store_meta.json -- the attachment can never declare a
+    layout the files weren't written with. Explicit `schema_ddl`/`n_buckets`
+    are validated against the metadata (a mismatch raises rather than
+    silently mis-bucketing every join)."""
+    meta = read_store_meta(path)
+    if n_buckets is not None and int(n_buckets) != meta["n_buckets"]:
+        raise ValueError(
+            f"n_buckets {n_buckets} != store's {meta['n_buckets']} at {path}")
+    if schema_ddl is not None:
+        want = [c.strip().split(" ")[0].strip("`").lower()
+                for c in schema_ddl.split(",")]
+        have = [c.strip().split(" ")[0].strip("`").lower()
+                for c in meta["schema_ddl"].split(",")]
+        if want != have:
+            raise ValueError(
+                f"schema_ddl columns {want} != store's {have} at {path}")
+    cols = ", ".join(meta["bucket_cols"])
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        f"CREATE TABLE IF NOT EXISTS {table} ({meta['schema_ddl']}) "
+        f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {meta['n_buckets']} BUCKETS LOCATION '{path}'"
     )
     return spark.table(table)
 
@@ -180,13 +252,15 @@ def append_novel(
     new_chunks: DataFrame,
     table: str,
     path: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Grow the store by this batch's novel content: one first_occurrence
     row per previously-unseen hash. Replay-idempotent at the hash level: a
     committed batch's hashes are all present, so its replay's anti-join is
     empty; a batch that failed before commit left nothing visible and
-    replays whole."""
+    replays whole. n_buckets defaults to the store's own metadata."""
+    if n_buckets is None:
+        n_buckets = read_store_meta(path)["n_buckets"]
     store = spark.table(table)
     first = first_occurrence(novel_chunks(new_chunks, store))
     write_chunk_store(first, table, path, n_buckets=n_buckets, mode="append")
@@ -208,14 +282,7 @@ def write_band_store(
     band_hash. The df side-relation is recomputed per probe from the store
     scan's own aggregation when small, or maintained incrementally by the
     compaction job at scale (documented, not automated here)."""
-    (
-        bands.write.bucketBy(n_buckets, "band_hash")
-        .sortBy("band_hash")
-        .mode(mode)
-        .format("parquet")
-        .option("path", path)
-        .saveAsTable(table)
-    )
+    _bucketed_write(bands, table, path, ["band_hash"], n_buckets, mode)
 
 
 def near_dup_candidates_vs_store(

@@ -27,8 +27,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCHEMA_DDL = ("clip_id STRING, algo STRING, chunk_idx INT, offset BIGINT, "
-              "length INT, chunk_hash BINARY")
 TABLE = "chunk_store"
 
 
@@ -62,7 +60,9 @@ def main() -> int:
     ap.add_argument("--min-size", type=int, default=None)
     ap.add_argument("--normal-size", type=int, default=None)
     ap.add_argument("--max-size", type=int, default=None)
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count at init; later commands read it from "
+                         "the store's _store_meta.json")
     ap.add_argument("--broadcast-batch", action="store_true",
                     help="small-batch inverted probe (store never shuffled/sorted)")
     ap.add_argument("--cpus", type=int, default=None)
@@ -83,8 +83,8 @@ def main() -> int:
             out = {"cmd": "init", "store": args.store,
                    "rows": store.count(), "buckets": args.buckets}
         else:
-            store = incremental.register_chunk_store(
-                spark, TABLE, args.store, SCHEMA_DDL, n_buckets=args.buckets)
+            # bucketing + schema come from the store's own _store_meta.json
+            store = incremental.register_chunk_store(spark, TABLE, args.store)
             if args.cmd == "report":
                 rep = incremental.exact_dedup_vs_store(
                     batch, store, broadcast_batch=args.broadcast_batch
@@ -100,8 +100,7 @@ def main() -> int:
                 }
             else:  # append
                 before = store.count()
-                incremental.append_novel(spark, batch, TABLE, args.store,
-                                         n_buckets=args.buckets)
+                incremental.append_novel(spark, batch, TABLE, args.store)
                 after = spark.table(TABLE).count()
                 out = {"cmd": "append", "store": args.store,
                        "rows_before": before, "rows_added": after - before,

@@ -132,6 +132,20 @@ def test_register_reattaches_existing_store(spark, corpus, no_broadcast):
                  corpus["new"], store2).collect()}
     assert after == before
 
+    # the store is self-describing: re-attachment with a WRONG bucketing or
+    # schema raises instead of silently mis-bucketing joins, and appending
+    # with a drifted schema fails fast
+    with pytest.raises(ValueError, match="n_buckets"):
+        incremental.register_chunk_store(spark, "t_wrong", corpus["path"],
+                                         n_buckets=16)
+    with pytest.raises(ValueError, match="schema_ddl"):
+        incremental.register_chunk_store(spark, "t_wrong", corpus["path"],
+                                         schema_ddl="other_col STRING")
+    with pytest.raises(ValueError, match="mismatch"):
+        incremental.write_chunk_store(
+            corpus["new"].drop("offset"), "t_incr_store", corpus["path"],
+            n_buckets=8, mode="append")
+
 
 def test_append_novel_then_batch_fully_dup(spark, corpus):
     n0 = spark.table("t_incr_store").count()
