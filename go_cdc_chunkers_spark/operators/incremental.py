@@ -266,6 +266,55 @@ def append_novel(
     write_chunk_store(first, table, path, n_buckets=n_buckets, mode="append")
 
 
+def compact_store(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    n_buckets: int | None = None,
+    dedupe: bool = True,
+) -> dict:
+    """Rewrite the store's accumulated bucket files (every append adds one
+    file per bucket it touches; probe-side merge cost grows with file
+    count) into a fresh single-pass layout, optionally re-bucketing
+    (n_buckets) and canonicalizing duplicate hashes (dedupe -> one
+    first_occurrence row per hash; only the initial batch can carry
+    within-clip hash repeats, appends are pre-deduped).
+
+    Locally the swap is write-to-sibling + directory rename with a brief
+    window where the table is re-registered; on a real cluster this is an
+    Iceberg rewrite-data-files action -- same rewrite, atomic pointer
+    swap. Returns {"rows", "files_before", "files_after"}."""
+    import shutil
+
+    meta = read_store_meta(path)
+    nb = int(n_buckets) if n_buckets is not None else meta["n_buckets"]
+
+    def _nfiles(p: str) -> int:
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    files_before = _nfiles(path)
+    df = spark.table(table)
+    if dedupe:
+        df = first_occurrence(df)
+    tmp = path.rstrip("/") + ".compacting"
+    tmp_table = table + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    _bucketed_write(df, tmp_table, tmp, meta["bucket_cols"], nb, "overwrite")
+    rows = spark.table(tmp_table).count()  # materialized BEFORE the swap
+
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    register_chunk_store(spark, table, path)
+    return {"rows": int(rows), "files_before": files_before,
+            "files_after": _nfiles(path)}
+
+
 # ---------------------------------------------------------------------------
 # Near-dup band store: LSH bands persisted bucketed on the band key, plus a
 # document-frequency side relation for stop-band pruning (the skew control).

@@ -49,9 +49,10 @@ def _chunks(spark, args):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["init", "report", "append"])
+    ap.add_argument("cmd", choices=["init", "report", "append", "compact"])
     ap.add_argument("--store", required=True)
-    ap.add_argument("--path", required=True)
+    ap.add_argument("--path", default=None,
+                    help="batch source (required except for compact)")
     ap.add_argument("--format", choices=["files", "parquet"], default="files")
     ap.add_argument("--glob", default=None)
     ap.add_argument("--codec", default="pcm_s16le")
@@ -71,8 +72,17 @@ def main() -> int:
     from go_cdc_chunkers_spark.operators import incremental
     from go_cdc_chunkers_spark.session import get_spark
 
+    if args.cmd != "compact" and not args.path:
+        ap.error("--path is required for init/report/append")
+
     spark = get_spark(app=f"store-{args.cmd}", cpus=args.cpus)
     try:
+        if args.cmd == "compact":
+            incremental.register_chunk_store(spark, TABLE, args.store)
+            out = {"cmd": "compact", "store": args.store,
+                   **incremental.compact_store(spark, TABLE, args.store)}
+            print(json.dumps(out))
+            return 0
         batch = _chunks(spark, args)
         if args.cmd == "init":
             if os.path.exists(os.path.join(args.store, "_SUCCESS")):

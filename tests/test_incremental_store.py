@@ -167,6 +167,49 @@ def test_append_novel_then_batch_fully_dup(spark, corpus):
     assert spark.table("t_incr_store").count() == n1
 
 
+def test_compact_store_shrinks_files_same_results(spark, tmp_path, no_broadcast):
+    """compact_store after appends: duplicate hashes canonicalized, bucket
+    file count shrinks, probe results and the bucketed plan shape are
+    unchanged, metadata survives (re-registration works)."""
+    import os
+
+    rng = np.random.default_rng(3)
+    mk = lambda i, n: (f"k{i}", bytearray(  # noqa: E731
+        rng.integers(0, 256, n, dtype=np.uint8).tobytes()))
+    schema = "clip_id string, bytes binary"
+    base = chunking.chunk_clips(
+        spark.createDataFrame([mk(i, 30_000) for i in range(4)], schema),
+        "fastcdc-v1.0.0", OPTS)
+    more = chunking.chunk_clips(
+        spark.createDataFrame([mk(i, 30_000) for i in range(4, 8)], schema),
+        "fastcdc-v1.0.0", OPTS)
+    probe = chunking.chunk_clips(
+        spark.createDataFrame([mk(i, 30_000) for i in range(2, 6)], schema),
+        "fastcdc-v1.0.0", OPTS).cache()
+    probe.count()
+
+    path = str(tmp_path / "cstore")
+    incremental.write_chunk_store(base, "t_compact", path, n_buckets=4)
+    incremental.append_novel(spark, more, "t_compact", path)
+    n_distinct = (spark.table("t_compact").select("chunk_hash")
+                  .distinct().count())
+    before = {(r["clip_id"], r["chunk_idx"]) for r in
+              incremental.probe_store(probe, spark.table("t_compact")).collect()}
+
+    stats = incremental.compact_store(spark, "t_compact", path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 4  # one file per bucket
+    assert stats["rows"] == n_distinct  # dedupe canonicalized repeats
+    assert spark.table("t_compact").count() == n_distinct
+    after = {(r["clip_id"], r["chunk_idx"]) for r in
+             incremental.probe_store(probe, spark.table("t_compact")).collect()}
+    assert after == before
+    assert "Bucketed: true" in plan(
+        incremental.probe_store(probe, spark.table("t_compact")))
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".old")
+
+
 def test_store_cli_init_report_append_cycle(tmp_path):
     """jobs/store.py end-to-end: init a store from tree A, report tree B
     (one exact copy of an A file, one novel file), append, report again --
@@ -212,6 +255,11 @@ def test_store_cli_init_report_append_cycle(tmp_path):
 
     rep2 = run("report", "--path", str(b), "--broadcast-batch")
     assert rep2["fully_dup_clips"] == rep2["n_clips"] == 2
+
+    comp = run("compact")
+    assert comp["files_after"] < comp["files_before"]
+    rep3 = run("report", "--path", str(b))
+    assert rep3["fully_dup_clips"] == 2 and rep3["dup_bytes"] == 100_000
 
 
 def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_broadcast):
