@@ -1633,6 +1633,66 @@ ORDER BY a, b
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-compression path,
+    operators/similarity.py): 64-dim embeddings -> 4 subspaces x 8-code
+    deterministic codebooks -> ADC inner-product over the code table ->
+    exact re-rank of the top-20 compressed candidates. Codebooks (the
+    iterative k-means) and codes are materialized; the oracle replays
+    encode-consistency, the query LUT, ADC scoring, candidate selection,
+    and the exact top-5 relationally (lambda-free, the _ANN_DIMS/_SCORE
+    pattern)."""
+    from .operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, m=4, ks=8, iters=1, dim=64)
+    cbm = _materialize(spark, cb, "ann_pq_codebooks")
+    codes = similarity.pq_encode(emb, cbm, m=4, dsub=16)
+    cdm = _materialize(spark, codes, "ann_pq_codes")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cbm, m=4, dsub=16, k=5,
+        codes=cdm, refine=20,
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH cb AS (SELECT * FROM {_mat('ann_pq_codebooks')}),
+codes AS (SELECT * FROM {_mat('ann_pq_codes')}),
+{_ANN_DIMS_SQL},
+cbdims AS (
+  SELECT sub_id, code, generate_subscripts(centroid, 1) AS spos,
+         CAST(unnest(centroid) AS DOUBLE) AS val
+  FROM cb
+),
+qsub AS (
+  SELECT vec_id AS query_id, CAST((pos - 1) // 16 AS INT) AS sub_id,
+         ((pos - 1) % 16) + 1 AS spos, val
+  FROM dims WHERE vec_id < 20
+),
+lut AS (
+  SELECT q.query_id, q.sub_id, c.code,
+         CAST(sum(CAST(round(q.val * c.val * 1e12) AS BIGINT)) AS BIGINT) AS pd
+  FROM qsub q JOIN cbdims c ON c.sub_id = q.sub_id AND c.spos = q.spos
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         sum(l.pd)::BIGINT AS approx_dot
+  FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 20
+),
+{_ANN_SCORE_SQL}
+"""
+
+
 def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading/trailing silence trim coordinates per clip
     (operators/multimodal.py:silence_trim) -- the dead-air drop a training
@@ -1814,6 +1874,7 @@ QUERIES = {
     "transcript_containment": transcript_containment,
     "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "tpch_q14_promo": tpch_q14_promo,
     "revenue_rollup_totals": revenue_rollup_totals,
     "customers_without_orders": customers_without_orders,
@@ -1827,6 +1888,7 @@ ORACLES = {
     "incremental_store_dedup": INCREMENTAL_STORE_SQL,
     "incremental_near_dup": INCREMENTAL_NEAR_DUP_SQL,
     "ann_ivf_topk": _ivf_sql(),
+    "ann_pq_topk": ANN_PQ_SQL,
     "tpch_q14_promo": TPCH_Q14_SQL,
     "revenue_rollup_totals": REVENUE_ROLLUP_TOTALS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,

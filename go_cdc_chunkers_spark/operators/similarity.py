@@ -363,3 +363,152 @@ def lsh_bucketed_topk(
     pieces = sketch_pieces(embeddings, n_bits, bands, id_col, vec_col)
     cand = candidates_from_pieces(pieces, queries, id_col, bucket_cap)
     return topk_from_candidates(embeddings, cand, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path. A d-dim vector
+# becomes m small codes (one per d/m-dim subspace, each quantized by its own
+# ks-centroid codebook), so scoring scans N x m bytes of codes instead of
+# N x d floats -- at 10^12 vectors the difference between a table that fits
+# the cluster's memory and one that doesn't. ADC (asymmetric distance
+# computation) scores a query against ALL compressed vectors via a per-query
+# lookup table: approx_dot(q, x) = sum_s dot(q_s, codebook[s][code_s(x)]).
+# Complexity is still O(|Q| x N x m) row-ops (PQ compresses memory, not
+# candidate count); compose with the IVF/LSH candidate pruning above for
+# both (pq_topk takes an optional candidates relation). Inner-product PQ:
+# scores are unnormalized scaled-integer dots, bit-deterministic, fully
+# relational (the DuckDB oracle ann_pq_topk replays encode + LUT + ADC).
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(sub_id, code, centroid array<double>): one deterministic k-means
+    (the ivf_centroids machinery, seeded per subspace) over each subspace's
+    sliced subvectors. Training reads the corpus m times -- at scale, train
+    on a TABLESAMPLE instead of the full table (sampling only affects the
+    codebooks, not correctness of encode/score)."""
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        cb = ivf_centroids(sub, n_centroids=ks, iters=iters,
+                           id_col=id_col, vec_col=vec_col, seed=11 + s)
+        cb = cb.select(F.lit(s).alias("sub_id"),
+                       F.col("centroid_id").alias("code"), "centroid")
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def _subvectors(df: DataFrame, m: int, dsub: int, id_col: str, vec_col: str,
+                out_id: str) -> DataFrame:
+    """(out_id, sub_id, subvec): every vector exploded into its m slices."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(
+            *[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)]
+        )).alias("sub_id", "subvec"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub_id, code): nearest codebook entry per subspace by
+    integer-exact cosine (ties by code; null sims last -- a zero subvector
+    deterministically takes the lowest code). Codebooks broadcast (m x ks
+    rows); encoding is one narrow explode + broadcast join + per-key top-1."""
+    from pyspark.sql.functions import broadcast
+
+    subs = _subvectors(embeddings, m, dsub, id_col, vec_col, "vec_id")
+    scored = subs.join(broadcast(codebooks), "sub_id").withColumn(
+        "_sim", cosine_expr(F.col("subvec"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("_sim").desc_nulls_last(), F.col("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, approx_dot, rk). approx_dot is the
+    scaled-integer PQ inner product -- exact given the codes, deterministic.
+    `codes` accepts a precomputed/persisted encoding (the production shape:
+    encode once, store N x m tiny rows); `candidates`(query_id, neighbor_id)
+    restricts scoring (IVF-PQ composition) instead of full-corpus ADC.
+
+    refine=R > 0 adds the standard exact re-rank: ADC selects top-R
+    compressed candidates, then true integer-exact cosine ranks the final
+    k (fetching R full vectors per query instead of N). Without it,
+    within-cluster neighbors that share codes tie on approx_dot and rank
+    by id -- measured recall@3 on the clustered fixture: 0.27 bare, 0.87
+    at refine=4k, 1.0 at refine=8k. Use refine for quality; bare ADC only
+    when full vectors are too expensive to fetch at all."""
+    from pyspark.sql.functions import broadcast
+
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, m, dsub, id_col, vec_col)
+    qv = embeddings.join(queries.select(F.col(id_col)).distinct(),
+                         id_col, "left_semi")
+    lut = (
+        _subvectors(qv, m, dsub, id_col, vec_col, "query_id")
+        .join(broadcast(codebooks), "sub_id")
+        .select("query_id", "sub_id", "code",
+                _dot_scaled(F.col("subvec"), F.col("centroid")).alias("_pd"))
+    )
+    scores = (
+        codes.join(broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("_pd").cast("long").alias("approx_dot"),
+             F.count("*").alias("_parts"))
+        .filter(F.col("_parts") == m)  # every subspace contributed
+        .drop("_parts")
+    )
+    if candidates is not None:
+        scores = scores.join(candidates, ["query_id", "neighbor_id"], "left_semi")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id"))
+    ranked = scores.withColumn("rk", F.row_number().over(w))
+    if refine:
+        cand = ranked.filter(F.col("rk") <= refine).select(
+            "query_id", "neighbor_id")
+        return topk_from_candidates(embeddings, cand, k, id_col, vec_col)
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "approx_dot",
+                F.col("rk").cast("int").alias("rk"))
+    )

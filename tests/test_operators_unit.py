@@ -365,6 +365,41 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     assert len(sizes) >= 4  # quantizer actually partitions the space
 
 
+def test_pq_topk_refined_recall_and_determinism(spark):
+    """PQ ADC + exact re-rank: recall 1.0 at refine=8k on the clustered
+    fixture (bare ADC ties within-cluster codes -- that's the documented
+    trade); codes are one row per (vector, subspace); two runs bit-equal."""
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = np.vstack(
+        [c + rng.standard_normal((15, 24)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    cb = similarity.pq_codebooks(df, m=4, ks=8, iters=1, dim=24)
+    assert cb.count() == 4 * 8
+
+    codes = similarity.pq_encode(df, cb, m=4, dsub=6)
+    assert codes.count() == 120 * 4
+    assert codes.groupBy("vec_id").count().filter("count != 4").count() == 0
+
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in similarity.pq_topk(df, q, cb, m=4, dsub=6, k=3,
+                                      refine=24).collect()}
+    assert len(bf & pq) / len(bf) >= 0.95
+
+    a = sorted(map(tuple, similarity.pq_topk(
+        df, q, cb, m=4, dsub=6, k=3).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(
+        df, q, cb, m=4, dsub=6, k=3).collect()))
+    assert a == b
+
+
 def test_ivf_centroids_deterministic(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((60, 8)).astype(np.float32)
