@@ -114,8 +114,7 @@ def silence_trim(
 
     Pure relational min/max over the active subset (all JVM, one groupBy
     per side, co-keyed on clip_id); an all-silent clip reports
-    lead = n_frames, active span 0. Works identically on the streaming
-    frame relation (stateless projections + aggregations)."""
+    lead = n_frames, active span 0."""
     per = frames.groupBy("clip_id").agg(F.count("*").cast("long").alias("n_frames"))
     act = (
         frames.filter(F.col("energy") >= threshold)

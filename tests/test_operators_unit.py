@@ -399,6 +399,18 @@ def test_pq_topk_refined_recall_and_determinism(spark):
         df, q, cb, m=4, dsub=6, k=3).collect()))
     assert a == b
 
+    # IVF-PQ composition: IVF probing restricts the candidate set, PQ
+    # scores only those -- results are a subset of each probe's cluster
+    cents = similarity.ivf_centroids(df, n_centroids=8, iters=1)
+    assign = similarity.ivf_assign(df, cents)
+    probes = similarity.ivf_topk(df, q, cents, k=120, n_probe=2)
+    cand = probes.select("query_id", "neighbor_id")
+    ivfpq = similarity.pq_topk(df, q, cb, m=4, dsub=6, k=3,
+                               candidates=cand, refine=12).collect()
+    allowed = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    assert {(r.query_id, r.neighbor_id) for r in ivfpq} <= allowed
+    assert len({r.query_id for r in ivfpq}) == 10
+
 
 def test_ivf_centroids_deterministic(spark):
     rng = np.random.default_rng(7)
