@@ -1741,6 +1741,60 @@ ORDER BY per.clip_id
 """
 
 
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by an integer tf-rarity
+    score: score = floor(tf * 1e6 / df). Monotone in tf and in 1/df like
+    tf-idf, but exactly representable -- both engines rank on identical
+    BIGINTs (a float idf = ln(N/df) could differ in the last ulp at a
+    rounding boundary and flip a rank). Ties break by term. Two shuffles
+    (doc-term tf, term df) + one per-doc top-k window."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r" +")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
+                "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf * 1000000) // dfreq.df AS score
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score::BIGINT AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, term, tf, df, score, rk::INT AS rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup accounting: a new batch of clips probed against an
     accumulated chunk store (operators/incremental.py). Here the split is
@@ -1866,6 +1920,7 @@ QUERIES = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
     "doc_token_stats": doc_token_stats,
+    "doc_tfidf_topterms": doc_tfidf_topterms,
     "doc_quality_score": doc_quality_score,
     "doc_langid": doc_langid,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -1916,6 +1971,7 @@ ORACLES = {
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_minhash_lsh": _md5_minhash_sql(),
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "doc_quality_score": DOC_QUALITY_SQL,
     "doc_langid": _langid_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
