@@ -218,6 +218,53 @@ def test_silence_trim_lead_trail_and_all_silent(spark):
     assert got["active"]["active_span_ms"] == 80
 
 
+def test_image_resize_nearest_exact(spark):
+    """Nearest-neighbor resize of a real PPM: output pixels equal the
+    numpy-indexed source pixels exactly, and the round-trip re-encode
+    decodes back to the same array."""
+    from go_cdc_chunkers_spark.operators.multimodal import (
+        _encode_ppm, decode_image, image_resize)
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("i0", bytearray(_encode_ppm(img)))], "item_id string, bytes binary")
+    row = image_resize(df, out_w=8, out_h=6).collect()[0]
+    assert (row.width, row.height) == (8, 6)
+    got = decode_image(bytes(row.bytes))
+    ys = (np.arange(6) * 12) // 6
+    xs = (np.arange(8) * 16) // 8
+    assert np.array_equal(got, img[ys[:, None], xs[None, :]])
+
+
+def test_resample_audio_tone_snr(spark):
+    """Linear-interp resample of a 440 Hz tone 16 kHz -> 8 kHz and back up
+    to 16 kHz: length scales exactly with the rate ratio and the
+    round-tripped tone keeps SNR >= 30 dB vs the ideal (the pipeline's
+    per-row invariant bound)."""
+    from go_cdc_chunkers_spark.operators.multimodal import resample_audio
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("c0", bytearray(pcm.tobytes()), sr, 1000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    down = resample_audio(df, out_sr=8000).collect()[0]
+    assert down.sr_hz == 8000 and len(down.bytes) == sr  # half the samples
+    df2 = spark.createDataFrame(
+        [("c0", bytearray(bytes(down.bytes)), 8000, 1000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    up = resample_audio(df2, out_sr=sr).collect()[0]
+    got = np.frombuffer(bytes(up.bytes), dtype="<i2").astype(np.float64)
+    n = len(got)
+    ideal = 0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / sr) * 32767
+    snr = 10 * np.log10((ideal**2).mean() / ((got - ideal) ** 2).mean())
+    assert snr >= 30, snr
+
+
 def test_image_features_stub_and_fake(spark):
     from go_cdc_chunkers_spark.operators.multimodal import image_features
 
