@@ -5,6 +5,7 @@ determinism/scale-invariance of the landmark extraction."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from go_cdc_chunkers_spark.operators import audio_fp
 from go_cdc_chunkers_spark.sources import clips as clips_src
@@ -96,3 +97,35 @@ def test_landmarks_deterministic_and_scale_invariant():
     # empty / shorter-than-frame input yields no landmarks
     assert audio_fp.clip_landmarks(np.empty(0, np.int16))[0].size == 0
     assert audio_fp.clip_landmarks(np.zeros(100, np.int16))[0].size == 0
+
+
+def test_mixed_rate_corpus_recovered_after_resample(spark):
+    """The resample-normalization step in action: an 8 kHz downsampled copy
+    of a 16 kHz chord clip shares no usable frame geometry with its base
+    (different sample rate = different FFT bin mapping), but after
+    resample_audio normalizes the corpus to one rate the spectral channel
+    pairs copy and base."""
+    from go_cdc_chunkers_spark.operators import audio_fp
+    from go_cdc_chunkers_spark.operators.multimodal import (
+        _resample_linear, resample_audio)
+
+    rows, truth, _k = clips_src.generate_chord_clips(
+        n_base=6, dup_frac=0.0, jitter_frac=0.0, insert_frac=0.0, seed=77)
+    base = rows[0]
+    pcm = np.frombuffer(base["bytes"], dtype="<i2")
+    low = _resample_linear(pcm, 16000, 8000)
+
+    mixed = [(r["clip_id"], bytearray(r["bytes"]), 16000, "pcm_s16le")
+             for r in rows]
+    mixed.append(("low-rate-copy", bytearray(low.tobytes()), 8000, "pcm_s16le"))
+    df = spark.createDataFrame(
+        mixed, "clip_id string, bytes binary, sr_hz int, codec string")
+
+    norm = resample_audio(df.withColumn("dur_ms", F.lit(0)), out_sr=16000)
+    pairs = audio_fp.fingerprint_pairs(
+        audio_fp.spectral_fingerprints(norm).cache()).collect()
+    got = {tuple(sorted((r.a, r.b))) for r in pairs}
+    assert tuple(sorted(("low-rate-copy", base["clip_id"]))) in got
+    # and no false pair among the distinct bases
+    others = {p for p in got if "low-rate-copy" not in p}
+    assert not others, others
