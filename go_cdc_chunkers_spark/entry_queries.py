@@ -1756,8 +1756,10 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
-        "score",
-        F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).cast("long"),
+        # `div` is BIGINT integer division -- no double in the score path
+        # (CLAUDE.md parity rule; floor(double) would agree only while
+        # tf*1e6 stays under 2^53)
+        "score", F.expr("tf * 1000000 div df").cast("long"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (

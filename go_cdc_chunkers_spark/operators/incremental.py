@@ -88,7 +88,14 @@ def _bucketed_write(df: DataFrame, table: str, path: str,
     bucketing/schema fail fast instead of corrupting the layout."""
     meta = _store_meta_of(df, bucket_cols, n_buckets)
     mp = os.path.join(path, _META_FILE)
-    appending = mode == "append" and os.path.exists(mp)
+    appending = mode == "append"
+    if appending and not os.path.exists(mp):
+        # proceeding would skip drift validation AND stamp the directory
+        # with a meta describing only this batch's layout
+        raise FileNotFoundError(
+            f"append to {path}: no {_META_FILE} -- not a store written by "
+            "this module (or its metadata was lost); re-init with "
+            "mode='overwrite' after verifying the directory")
     if appending:
         old = json.load(open(mp))
         drift = {k: (old.get(k), meta[k])
@@ -160,9 +167,22 @@ def register_chunk_store(
         if want != have:
             raise ValueError(
                 f"schema_ddl columns {want} != store's {have} at {path}")
+    if spark.catalog.tableExists(table):
+        # IF NOT EXISTS would silently keep the old registration -- a table
+        # name reused for a different store would then serve the WRONG
+        # store's data to every probe
+        loc = next(
+            (r.data_type for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+             if r.col_name == "Location"), "")
+        want = "file:" + os.path.abspath(path)
+        if loc.rstrip("/") not in (want.rstrip("/"), os.path.abspath(path)):
+            raise ValueError(
+                f"table {table!r} is already registered at {loc!r}, not "
+                f"{path!r}; use a distinct table name per store")
+        return spark.table(table)
     cols = ", ".join(meta["bucket_cols"])
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {table} ({meta['schema_ddl']}) "
+        f"CREATE TABLE {table} ({meta['schema_ddl']}) "
         f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
         f"INTO {meta['n_buckets']} BUCKETS LOCATION '{path}'"
     )
@@ -295,7 +315,12 @@ def compact_store(
     files_before = _nfiles(path)
     df = spark.table(table)
     if dedupe:
-        df = first_occurrence(df)
+        # first_occurrence is chunk-store-shaped (keys on chunk_hash); a
+        # band store deduplicates to distinct rows instead
+        if meta["bucket_cols"] == ["chunk_hash"]:
+            df = first_occurrence(df)
+        else:
+            df = df.distinct()
     tmp = path.rstrip("/") + ".compacting"
     tmp_table = table + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -309,6 +334,13 @@ def compact_store(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
+    # preserve sidecar files other layers keep beside the store (e.g. the
+    # CLI's _chunking.json) -- the rewrite owns only parquet + its own meta
+    for fn in os.listdir(old):
+        src, dst = os.path.join(old, fn), os.path.join(path, fn)
+        if (os.path.isfile(src) and not fn.endswith(".parquet")
+                and not os.path.exists(dst)):
+            shutil.copy2(src, dst)
     shutil.rmtree(old)
     register_chunk_store(spark, table, path)
     return {"rows": int(rows), "files_before": files_before,

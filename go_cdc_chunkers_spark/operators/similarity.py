@@ -464,8 +464,12 @@ def pq_topk(
     candidates: DataFrame | None = None,
     refine: int = 0,
 ) -> DataFrame:
-    """ADC top-k: (query_id, neighbor_id, approx_dot, rk). approx_dot is the
-    scaled-integer PQ inner product -- exact given the codes, deterministic.
+    """ADC top-k. Output shape depends on refine: the bare ADC path returns
+    (query_id, neighbor_id, approx_dot, rk) where approx_dot is the
+    scaled-integer PQ inner product; with refine=R the exact re-rank
+    returns topk_from_candidates' (query_id, neighbor_id, cosine, rk) --
+    the true cosine, since that is what the refined ranking is computed
+    from. approx_dot is exact given the codes, deterministic.
     `codes` accepts a precomputed/persisted encoding (the production shape:
     encode once, store N x m tiny rows); `candidates`(query_id, neighbor_id)
     restricts scoring (IVF-PQ composition) instead of full-corpus ADC.
@@ -509,6 +513,7 @@ def pq_topk(
         return topk_from_candidates(embeddings, cand, k, id_col, vec_col)
     return (
         ranked.filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "approx_dot",
-                F.col("rk").cast("int").alias("rk"))
+        .select(F.col("query_id").cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                "approx_dot", F.col("rk").cast("int").alias("rk"))
     )

@@ -176,15 +176,16 @@ class Pipeline:
             groups = self.stage("exact_groups", lambda: self._exact_groups(clips))
             canon = groups.filter(
                 F.col("clip_id") == F.col("canonical_id")).select("clip_id")
-            # Broadcast the id list and materialize the filtered clips ONCE:
-            # left lazy, every downstream stage re-executes the semi-join,
-            # and a non-broadcast plan would shuffle the clip BYTES (first
-            # measurement: sig_text 2.2 s -> 11.9 s; with this, every stage
-            # shrinks by the dup fraction instead). At 10^12 clips the rows
-            # are (pointer, metadata) with bytes in object storage, so the
-            # id-keyed semi-join is a pointer shuffle either way.
-            clips = clips.join(
-                F.broadcast(canon), "clip_id", "left_semi").cache()
+            # Materialize the filtered clips ONCE: left lazy, every
+            # downstream stage re-executes the semi-join, and a
+            # non-broadcast plan then shuffles the clip BYTES per stage
+            # (first measurement: sig_text 2.2 s -> 11.9 s). Join strategy
+            # stays Spark's choice -- canon auto-broadcasts when small, and
+            # at 10^12 clips (where a forced broadcast of every canonical
+            # id would kill the driver) the one-time id-keyed semi-join is
+            # a pointer shuffle: rows are (pointer, metadata) with bytes in
+            # object storage.
+            clips = clips.join(canon, "clip_id", "left_semi").cache()
             clips.count()
 
         chunks = self.stage(
@@ -226,13 +227,15 @@ class Pipeline:
             return comps
         # expand canonical components to every exact copy; labels are
         # unchanged (the canonical IS the min id of its exact group)
-        return self.stage(
+        expanded = self.stage(
             "components_expanded",
             lambda: groups.join(
                 comps.withColumnRenamed("clip_id", "canonical_id"),
                 "canonical_id",
             ).select("clip_id", "component_id"),
         )
+        clips.unpersist()  # every stage output is parquet by now
+        return expanded
 
     def cluster(
         self,

@@ -43,9 +43,18 @@ STORE_TABLES = ("clips", "chunks_pcm", "sig_pcm", "sig_text", "simhash_text",
 
 # cross-history chunk store (history_dedup): the bucketed layout of
 # operators/incremental.py, tagged with the contributing micro-batch
-HISTORY_TABLE = "stream_chunk_history"
 HISTORY_DDL = ("clip_id STRING, algo STRING, chunk_idx INT, offset BIGINT, "
                "length INT, chunk_hash BINARY, ingest_batch BIGINT")
+
+
+def history_table_name(store_dir: str) -> str:
+    """Catalog table name for one store's chunk history: derived from the
+    store path so two streams with different stores in one session never
+    share (or repoint) a table registration."""
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(store_dir).encode()).hexdigest()[:12]
+    return f"stream_chunk_history_{h}"
 
 
 def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
@@ -73,22 +82,23 @@ def _history_dedup_step(chunks: DataFrame, store_dir: str, batch_id: int,
 
     spark = chunks.sparkSession
     hist_path = os.path.join(store_dir, "chunk_history")
+    table = history_table_name(store_dir)
     tagged = chunks.withColumn("ingest_batch", F.lit(int(batch_id)).cast("long"))
     first_batch = not os.path.exists(os.path.join(hist_path, "_SUCCESS"))
     if first_batch:
         hist = tagged.limit(0)  # empty store: everything is novel
     else:
         hist = incremental.register_chunk_store(
-            spark, HISTORY_TABLE, hist_path, HISTORY_DDL, n_buckets=n_buckets
+            spark, table, hist_path, HISTORY_DDL, n_buckets=n_buckets
         ).filter(F.col("ingest_batch") != int(batch_id))
     report = incremental.exact_dedup_vs_store(chunks, hist)
     _append(report, store_dir, "dedup_report", batch_id)
     if first_batch:
         incremental.write_chunk_store(
-            incremental.first_occurrence(tagged), HISTORY_TABLE, hist_path,
+            incremental.first_occurrence(tagged), table, hist_path,
             n_buckets=n_buckets)
     else:
-        incremental.append_novel(spark, tagged, HISTORY_TABLE, hist_path,
+        incremental.append_novel(spark, tagged, table, hist_path,
                                  n_buckets=n_buckets)
 
 

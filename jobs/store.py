@@ -28,9 +28,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLE = "chunk_store"
+CHUNKING_FILE = "_chunking.json"
+_CHUNK_KEYS = ("algo", "min_size", "normal_size", "max_size")
 
 
-def _chunks(spark, args):
+def _effective_chunking(args) -> dict:
+    """Chunking parameters DEFINE hash identity: a batch chunked with
+    different sizing than the store produces disjoint hashes, so a
+    byte-identical file would silently report fully novel. init persists
+    the parameters beside the store (_chunking.json); later commands
+    default to them and refuse explicit flags that conflict."""
+    saved = None
+    cpath = os.path.join(args.store, CHUNKING_FILE)
+    if args.cmd != "init" and os.path.exists(cpath):
+        saved = json.load(open(cpath))
+    eff = {}
+    for key in _CHUNK_KEYS:
+        given = getattr(args, key)
+        if saved is not None:
+            if given is not None and given != saved[key]:
+                raise SystemExit(
+                    f"--{key.replace('_', '-')} {given} conflicts with the "
+                    f"store's persisted chunking ({saved[key]}); the store's "
+                    "hashes were cut with the init-time parameters")
+            eff[key] = saved[key]
+        else:
+            eff[key] = given
+    eff["algo"] = eff["algo"] or "fastcdc-v1.0.0"
+    return eff
+
+
+def _chunks(spark, args, chunking_cfg: dict):
     from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
     from go_cdc_chunkers_spark.operators.chunking import chunk_clips
 
@@ -41,10 +69,11 @@ def _chunks(spark, args):
 
         clips = clips_from_files(spark, args.path, glob=args.glob,
                                  codec=args.codec, sr_hz=args.sr_hz)
-    opts = ChunkerOpts(min_size=args.min_size, normal_size=args.normal_size,
-                       max_size=args.max_size) if args.normal_size else None
+    c = chunking_cfg
+    opts = ChunkerOpts(min_size=c["min_size"], normal_size=c["normal_size"],
+                       max_size=c["max_size"]) if c["normal_size"] else None
     # offset is part of the store schema; chunk_clips emits it
-    return chunk_clips(clips, args.algo, opts)
+    return chunk_clips(clips, c["algo"], opts)
 
 
 def main() -> int:
@@ -57,7 +86,9 @@ def main() -> int:
     ap.add_argument("--glob", default=None)
     ap.add_argument("--codec", default="pcm_s16le")
     ap.add_argument("--sr-hz", type=int, default=16000)
-    ap.add_argument("--algo", default="fastcdc-v1.0.0")
+    ap.add_argument("--algo", default=None,
+                    help="chunking algorithm at init (default fastcdc-v1.0.0); "
+                         "later commands read it from the store's _chunking.json")
     ap.add_argument("--min-size", type=int, default=None)
     ap.add_argument("--normal-size", type=int, default=None)
     ap.add_argument("--max-size", type=int, default=None)
@@ -83,15 +114,19 @@ def main() -> int:
                    **incremental.compact_store(spark, TABLE, args.store)}
             print(json.dumps(out))
             return 0
-        batch = _chunks(spark, args)
+        chunking_cfg = _effective_chunking(args)
+        batch = _chunks(spark, args, chunking_cfg)
         if args.cmd == "init":
             if os.path.exists(os.path.join(args.store, "_SUCCESS")):
                 raise SystemExit(f"store already exists at {args.store}")
             incremental.write_chunk_store(batch, TABLE, args.store,
                                           n_buckets=args.buckets)
+            with open(os.path.join(args.store, CHUNKING_FILE), "w") as f:
+                json.dump(chunking_cfg, f)
             store = spark.table(TABLE)
             out = {"cmd": "init", "store": args.store,
-                   "rows": store.count(), "buckets": args.buckets}
+                   "rows": store.count(), "buckets": args.buckets,
+                   "chunking": chunking_cfg}
         else:
             # bucketing + schema come from the store's own _store_meta.json
             store = incremental.register_chunk_store(spark, TABLE, args.store)

@@ -145,6 +145,18 @@ def test_register_reattaches_existing_store(spark, corpus, no_broadcast):
         incremental.write_chunk_store(
             corpus["new"].drop("offset"), "t_incr_store", corpus["path"],
             n_buckets=8, mode="append")
+    # a registered table name can never be silently repointed at (or kept
+    # serving) a different store directory
+    other = corpus["path"] + "_other"
+    incremental.write_chunk_store(corpus["new"], "t_other_store", other,
+                                  n_buckets=8)
+    with pytest.raises(ValueError, match="already registered"):
+        incremental.register_chunk_store(spark, "t_incr_store", other)
+    # appending to a directory without store metadata refuses outright
+    with pytest.raises(FileNotFoundError, match="_store_meta"):
+        incremental.write_chunk_store(
+            corpus["new"], "t_nometa", corpus["path"] + "_empty",
+            n_buckets=8, mode="append")
 
 
 def test_append_novel_then_batch_fully_dup(spark, corpus):
@@ -260,6 +272,25 @@ def test_store_cli_init_report_append_cycle(tmp_path):
     assert comp["files_after"] < comp["files_before"]
     rep3 = run("report", "--path", str(b))
     assert rep3["fully_dup_clips"] == 2 and rep3["dup_bytes"] == 100_000
+
+    # chunking params persist with the store: a report WITHOUT sizing flags
+    # uses the init-time parameters (identical accounting)...
+    r = subprocess.run(
+        [sys.executable, str(job), "report", "--path", str(b),
+         "--store", store, "--cpus", "4"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    rep4 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep4["dup_bytes"] == rep3["dup_bytes"]
+    # ...and CONFLICTING sizing is refused (different sizing = different
+    # hashes = silently-wrong dedup accounting)
+    r = subprocess.run(
+        [sys.executable, str(job), "report", "--path", str(b),
+         "--store", store, "--cpus", "4", "--normal-size", "4096",
+         "--min-size", "1024", "--max-size", "32768"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode != 0
+    assert "conflicts with the store's persisted chunking" in r.stderr
 
 
 def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_broadcast):

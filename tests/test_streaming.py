@@ -365,7 +365,7 @@ def test_lambda_history_dedup_report_and_replay(spark, tmp_path):
     hashes; REPLAYING batch 1 (foreachBatch at-least-once contract)
     reproduces the identical report and appends nothing."""
     from go_cdc_chunkers_spark.streaming.lambda_arch import (
-        HISTORY_TABLE, make_signature_sink, read_store)
+        history_table_name, make_signature_sink, read_store)
 
     rows, _truth = clips_src.generate_clips(
         n_base=8, dup_frac=0.0, near_frac=0.0, n_const=0, seed=11)
@@ -392,7 +392,7 @@ def test_lambda_history_dedup_report_and_replay(spark, tmp_path):
     assert rep["copy-of-0"]["fully_dup"] is True
     assert rep["novel"]["dup_chunks"] == 0
 
-    hist = spark.table(HISTORY_TABLE)
+    hist = spark.table(history_table_name(store))
     n_before = hist.count()
     # history holds one row per distinct hash, none from the dup copy
     assert hist.filter("clip_id = 'copy-of-0'").count() == 0
@@ -403,4 +403,4 @@ def test_lambda_history_dedup_report_and_replay(spark, tmp_path):
             for r in read_store(spark, store, "dedup_report")
             .filter("batch = 1").drop("batch").collect()}
     assert rep2 == rep
-    assert spark.table(HISTORY_TABLE).count() == n_before
+    assert spark.table(history_table_name(store)).count() == n_before
