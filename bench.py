@@ -401,13 +401,12 @@ def store_evidence(cpus: int) -> dict:
             ppath = os.path.join(BENCH_DIR, f"store_plain_{tag}")
             table = f"bench_store_{tag}"
             rows = _synth_chunk_rows(spark, n, salt=f"st{tag}")
-            if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+            cached = all(os.path.exists(os.path.join(bpath, f))
+                         for f in ("_SUCCESS", "_store_meta.json"))
+            if not cached:  # also rebuilds pre-metadata cache dirs
                 incremental.write_chunk_store(rows, table, bpath, n_buckets=64)
             else:
-                incremental.register_chunk_store(
-                    spark, table, bpath,
-                    "clip_id STRING, chunk_idx INT, length INT, chunk_hash BINARY",
-                    n_buckets=64)
+                incremental.register_chunk_store(spark, table, bpath)
             if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
                 rows.write.mode("overwrite").parquet(ppath)
             batch = _synth_chunk_rows(
