@@ -118,7 +118,8 @@ class Pipeline:
     def _done(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
-    def _lineage(self, stage: str, rows: int, started: float, partitions: int) -> None:
+    def _lineage(self, stage: str, rows: int, started: float, partitions: int,
+                 parts: dict | None = None) -> None:
         # Driver-side JSONL append: lineage must not cost a Spark job per
         # stage (it did, ~2 jobs x 9 stages of pure scheduler latency). The
         # file is still a first-class table via lineage_table(). On a real
@@ -127,22 +128,33 @@ class Pipeline:
         row = {
             "stage": stage, "rows_out": int(rows), "started": float(started),
             "finished": float(time.time()), "partitions": int(partitions),
+            **(parts or {}),
             "config": self.cfg.to_json(),
         }
         with open(os.path.join(self.workdir, "lineage.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
 
     @staticmethod
-    def _parquet_meta(path: str) -> tuple[int, int]:
-        """(rows, files) from parquet footers -- no Spark job."""
+    def _parquet_meta(path: str) -> tuple[int, int, dict]:
+        """(rows, files, per-partition metrics) from parquet footers -- no
+        Spark job. Each output file is one write partition, so the per-file
+        row distribution IS the stage's partition balance: `part_skew`
+        (max/mean rows) near 1.0 means even partitions; a hot key shows up
+        here before it shows up as a straggler at 100x scale."""
         import pyarrow.parquet as pq
 
-        rows = files = 0
+        counts = []
         for fn in os.listdir(path):
             if fn.endswith(".parquet"):
-                rows += pq.read_metadata(os.path.join(path, fn)).num_rows
-                files += 1
-        return rows, files
+                counts.append(pq.read_metadata(os.path.join(path, fn)).num_rows)
+        rows, files = sum(counts), len(counts)
+        nonzero = [c for c in counts if c] or [0]
+        parts = {
+            "part_rows_min": min(nonzero),
+            "part_rows_max": max(nonzero),
+            "part_skew": round(max(nonzero) * len(nonzero) / max(rows, 1), 3),
+        }
+        return rows, files, parts
 
     def stage(self, name: str, build) -> DataFrame:
         """Idempotent stage: reuse completed output, else compute + persist +
@@ -153,8 +165,8 @@ class Pipeline:
         started = time.time()
         df = build()
         df.write.mode("overwrite").parquet(p)
-        rows, files = self._parquet_meta(p)
-        self._lineage(name, rows, started, files)
+        rows, files, parts = self._parquet_meta(p)
+        self._lineage(name, rows, started, files, parts)
         return self.spark.read.parquet(p)
 
     # -- stages ------------------------------------------------------------

@@ -94,6 +94,10 @@ def test_lineage_written(pipeline_run, spark):
     assert {"chunks_pcm", "sig_pcm", "sig_text", "simhash_text", "bands",
             "candidates", "verified", "containment", "components"} <= stages
     assert all(r.finished >= r.started for r in lin)
+    # per-partition metrics (north_rule): every stage records its output
+    # partition balance; skew = max/mean rows >= 1 by construction
+    assert all(r.part_skew >= 1.0 and r.part_rows_max >= r.part_rows_min
+               for r in lin)
 
 
 def test_resume_idempotent(pipeline_run, synth, spark):
