@@ -122,3 +122,59 @@ def dup_pairs_from_components(components: DataFrame) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
+
+
+def merge_components(
+    prev: DataFrame,
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "clip_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected components: fold NEW vertices + edges into a
+    PREVIOUS labeling without re-clustering the old corpus.
+
+    At 10^12 clips a nightly full `connected_components` re-run costs
+    O(corpus) per night; this costs O(#old components + delta). The trick
+    is exact graph contraction: every previous component is already
+    connected, so it can be represented by its label alone. New edges are
+    mapped through the old labels (an endpoint inside an old component
+    becomes that component's label; unlabeled endpoints stay themselves),
+    CC runs on the contracted graph (old labels + new vertices only), and
+    old members inherit their component's new label by one join.
+
+    Labels remain IDENTICAL to a full re-run over the union graph: an old
+    label is the min clip_id of its old component, so the hash-min of a
+    merged contracted component is min(old labels, new ids) = the global
+    min clip_id. Pinned by test_merge_components_equals_full_rerun.
+
+    prev: (clip_id, component_id) -- a completed labeling. vertices/edges:
+    the NEW clips and ALL newly discovered edges (either endpoint may be
+    old or new)."""
+    lbl_a = prev.select(F.col(id_col).alias("a"), F.col("component_id").alias("_la"))
+    lbl_b = prev.select(F.col(id_col).alias("b"), F.col("component_id").alias("_lb"))
+    contracted_edges = (
+        edges.join(lbl_a, "a", "left")
+        .join(lbl_b, "b", "left")
+        .select(
+            F.coalesce("_la", F.col("a")).alias("a"),
+            F.coalesce("_lb", F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    old_labels = prev.select(F.col("component_id").alias(id_col)).distinct()
+    new_only = vertices.select(id_col).join(
+        prev.select(id_col), id_col, "left_anti")
+    contracted_vertices = old_labels.unionByName(new_only).distinct()
+
+    sub = connected_components(
+        contracted_vertices, contracted_edges, id_col=id_col, max_iter=max_iter)
+
+    relabel = sub.select(
+        F.col(id_col).alias("component_id"), F.col("component_id").alias("_new")
+    )
+    old = prev.join(relabel, "component_id").select(
+        id_col, F.col("_new").alias("component_id"))
+    new = new_only.join(sub, id_col).select(id_col, "component_id")
+    return old.unionByName(new)

@@ -218,3 +218,77 @@ def cluster_store(
         read_store(spark, store_dir, "simhash_text"),
         extra_edges,
     )
+
+
+def cluster_store_incremental(
+    spark: SparkSession,
+    store_dir: str,
+    prev_components: DataFrame,
+    since_batch: int,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Incremental batch layer: fold the clips ingested AFTER `since_batch`
+    into a previous clustering without re-clustering the corpus.
+
+    The full `cluster_store` re-runs candidates + verification + CC over
+    everything accumulated -- O(corpus) per scheduled run. Here the work is
+    proportional to the delta: only band buckets TOUCHED by a new clip are
+    re-opened (bands of old clips in untouched buckets never join), pairs
+    must involve at least one new clip (old-old pairs inside a touched
+    bucket were candidates of the run that saw both members, so their
+    connectivity is already inside `prev_components`), and the final CC
+    runs on the contracted graph via components.merge_components -- labels
+    provably identical to a full re-run (its docstring carries the
+    argument; test_lambda_incremental_cluster_matches_full pins it
+    end-to-end).
+
+    prev_components: the labeling a previous cluster_store /
+    cluster_store_incremental run produced over batches <= since_batch."""
+    from ..operators import candidates as cand_ops
+    from ..operators import components
+
+    cfg = cfg or PipelineConfig()
+    clips = read_store(spark, store_dir, "clips")
+    clips_b = spark.read.parquet(os.path.join(store_dir, "clips"))
+    new_ids = (clips_b.filter(F.col("batch") > int(since_batch))
+               .select("clip_id").distinct())
+
+    bp = signatures.lsh_bands(read_store(spark, store_dir, "sig_pcm"),
+                              cfg.bands, cfg.rows_per_band, src="pcm")
+    bt = signatures.lsh_bands(read_store(spark, store_dir, "sig_text"),
+                              cfg.bands, cfg.rows_per_band, src="text")
+    bands_all = bp.unionByName(bt)
+    key = ["band_id", "band_hash"]
+    touched = (bands_all.join(new_ids, "clip_id", "left_semi")
+               .select(*key).distinct())
+    in_scope = bands_all.join(touched, key, "left_semi").persist()
+    try:
+        pairs = cand_ops.candidate_pairs(
+            in_scope, pair_cap=cfg.pair_cap,
+            shuffle_partitions=cfg.band_partitions)
+        na = new_ids.select(F.col("clip_id").alias("a"),
+                            F.lit(True).alias("_na"))
+        nb = new_ids.select(F.col("clip_id").alias("b"),
+                            F.lit(True).alias("_nb"))
+        delta = (
+            pairs.join(na, "a", "left").join(nb, "b", "left")
+            .filter(F.coalesce("_na", F.lit(False))
+                    | F.coalesce("_nb", F.lit(False)))
+            .drop("_na", "_nb")
+        )
+        verified = cand_ops.verify_pairs_dual(
+            delta,
+            read_store(spark, store_dir, "sig_pcm"),
+            read_store(spark, store_dir, "sig_text"),
+            read_store(spark, store_dir, "simhash_text"),
+            k=cfg.k,
+            jaccard_threshold=cfg.jaccard_threshold,
+            hamming_threshold=cfg.hamming_threshold,
+        )
+        contained = cand_ops.containment_pass(verified, clips)
+        edges = (contained.filter(F.col("is_dup") | F.col("containment"))
+                 .select("a", "b"))
+        return components.merge_components(
+            prev_components, new_ids, edges).localCheckpoint()
+    finally:
+        in_scope.unpersist()

@@ -563,3 +563,38 @@ def test_video_frame_sample_raw_yuv(spark):
     )
     with pytest.raises(Exception):
         video_frame_sample(bad).collect()
+
+
+def test_merge_components_equals_full_rerun(spark):
+    """Incremental CC (graph contraction): folding a delta into a previous
+    labeling yields BIT-identical labels to a full re-run over the union
+    graph -- old labels are min ids, so contracted hash-min stays the
+    global min. Covers cross old/new edges, merges of two old components
+    via a new path, untouched old components, and singleton new clips."""
+    from go_cdc_chunkers_spark.operators.components import (
+        connected_components, merge_components)
+
+    rng = np.random.default_rng(13)
+    n_old, n_all = 150, 200
+    ids = [f"v{i:03d}" for i in range(n_all)]
+    edges = set()
+    while len(edges) < 180:
+        a, b = rng.integers(0, n_all, 2)
+        if a != b:
+            edges.add((ids[min(a, b)], ids[max(a, b)]))
+    old_edges = [(a, b) for a, b in edges if a < ids[n_old] and b < ids[n_old]]
+    new_edges = [e for e in edges if e not in set(old_edges)]
+
+    vdf = lambda xs: spark.createDataFrame([(x,) for x in xs], "clip_id string")  # noqa: E731
+    edf = lambda es: spark.createDataFrame(list(es) or [("_x", "_x")], "a string, b string")  # noqa: E731
+
+    prev = connected_components(vdf(ids[:n_old]), edf(old_edges))
+    merged = merge_components(prev, vdf(ids[n_old:]), edf(new_edges))
+    full = connected_components(vdf(ids), edf(list(edges)))
+
+    got = sorted((r.clip_id, r.component_id) for r in merged.collect())
+    want = sorted((r.clip_id, r.component_id) for r in full.collect())
+    assert got == want
+    # the contracted graph really is small: labels + delta, not the corpus
+    n_prev_components = prev.select("component_id").distinct().count()
+    assert n_prev_components < n_old

@@ -404,3 +404,50 @@ def test_lambda_history_dedup_report_and_replay(spark, tmp_path):
             .filter("batch = 1").drop("batch").collect()}
     assert rep2 == rep
     assert spark.table(history_table_name(store)).count() == n_before
+
+
+def test_lambda_incremental_cluster_matches_full(spark, tmp_path):
+    """Incremental batch layer: after new clips (including exact + near
+    dups of already-clustered content) land in the store, folding just the
+    delta into the previous labeling (cluster_store_incremental) yields
+    BIT-identical components to a full re-cluster of everything."""
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        cluster_store, cluster_store_incremental, make_signature_sink)
+
+    rows, truth = clips_src.generate_clips(
+        n_base=24, dup_frac=0.3, near_frac=0.2, n_const=0, seed=21)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    # deterministic shuffle so variants straddle the phase boundary
+    import hashlib
+    rows = sorted(rows, key=lambda r: hashlib.sha256(
+        r["clip_id"].encode()).hexdigest())
+    cut = 2 * len(rows) // 3
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store)
+    sink(df_of(rows[: cut // 2]), 0)
+    sink(df_of(rows[cut // 2: cut]), 1)
+
+    prev = cluster_store(spark, store, str(tmp_path / "run1")).localCheckpoint()
+
+    sink(df_of(rows[cut:]), 2)
+    full = cluster_store(spark, store, str(tmp_path / "run2"))
+    incr = cluster_store_incremental(spark, store, prev, since_batch=1)
+
+    want = sorted((r.clip_id, r.component_id) for r in full.collect())
+    got = sorted((r.clip_id, r.component_id) for r in incr.collect())
+    assert got == want
+    # sanity: the delta really merged something across the phase boundary
+    by_comp = {}
+    for cid, comp in got:
+        by_comp.setdefault(comp, []).append(cid)
+    new_ids = {r["clip_id"] for r in rows[cut:]}
+    mixed = [m for m in by_comp.values()
+             if any(c in new_ids for c in m) and any(c not in new_ids for c in m)]
+    assert mixed, "fixture produced no cross-phase duplicate group"
