@@ -243,7 +243,10 @@ def cluster_store_incremental(
     end-to-end).
 
     prev_components: the labeling a previous cluster_store /
-    cluster_store_incremental run produced over batches <= since_batch."""
+    cluster_store_incremental run produced over batches <= since_batch,
+    with the SAME cfg (bands/k/thresholds define which pairs verify; a
+    config change invalidates the already-candidates argument above --
+    re-cluster fully after changing it)."""
     from ..operators import candidates as cand_ops
     from ..operators import components
 
