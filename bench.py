@@ -388,7 +388,8 @@ def store_evidence(cpus: int) -> dict:
     n_batch = 400_000
     sizes = tuple(
         int(s) * 1_000_000 for s in
-        os.environ.get("SPARK_GRAFT_STORE_SIZES", "4,16").split(","))
+        os.environ.get("SPARK_GRAFT_STORE_SIZES", "4,16").split(",")
+        if s.strip())
     spark = get_spark(app="bench-store", cpus=cpus,
                       shuffle_partitions=max(cpus, 8))
     ev: dict = {"store_batch_rows": n_batch, "store_sizes": list(sizes)}
@@ -442,14 +443,15 @@ def store_evidence(cpus: int) -> dict:
             ev[f"store_shuffle_saved_vs_plain_{tag}"] = round(
                 (shuf["plain"] - shuf["bucketed"]) / max(shuf["plain"], 1), 4)
             batch.unpersist()
-        t0, t1 = (f"{sizes[0] // 1_000_000}m", f"{sizes[-1] // 1_000_000}m")
-        ev["store_growth_factor"] = round(sizes[-1] / sizes[0], 1)
-        ev["store_probe_growth_bucketed"] = round(
-            ev[f"store_probe_sec_bucketed_{t1}"]
-            / ev[f"store_probe_sec_bucketed_{t0}"], 2)
-        ev["store_probe_growth_broadcast"] = round(
-            ev[f"store_probe_sec_broadcast_{t1}"]
-            / ev[f"store_probe_sec_broadcast_{t0}"], 2)
+        if len(sizes) >= 2:  # growth is meaningless from a single point
+            t0, t1 = (f"{sizes[0] // 1_000_000}m", f"{sizes[-1] // 1_000_000}m")
+            ev["store_growth_factor"] = round(sizes[-1] / sizes[0], 1)
+            ev["store_probe_growth_bucketed"] = round(
+                ev[f"store_probe_sec_bucketed_{t1}"]
+                / ev[f"store_probe_sec_bucketed_{t0}"], 2)
+            ev["store_probe_growth_broadcast"] = round(
+                ev[f"store_probe_sec_broadcast_{t1}"]
+                / ev[f"store_probe_sec_broadcast_{t0}"], 2)
     finally:
         spark.stop()
     return ev

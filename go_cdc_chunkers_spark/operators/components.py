@@ -128,7 +128,6 @@ def merge_components(
     prev: DataFrame,
     vertices: DataFrame,
     edges: DataFrame,
-    id_col: str = "clip_id",
     max_iter: int = 50,
 ) -> DataFrame:
     """Incremental connected components: fold NEW vertices + edges into a
@@ -151,8 +150,8 @@ def merge_components(
     prev: (clip_id, component_id) -- a completed labeling. vertices/edges:
     the NEW clips and ALL newly discovered edges (either endpoint may be
     old or new)."""
-    lbl_a = prev.select(F.col(id_col).alias("a"), F.col("component_id").alias("_la"))
-    lbl_b = prev.select(F.col(id_col).alias("b"), F.col("component_id").alias("_lb"))
+    lbl_a = prev.select(F.col("clip_id").alias("a"), F.col("component_id").alias("_la"))
+    lbl_b = prev.select(F.col("clip_id").alias("b"), F.col("component_id").alias("_lb"))
     contracted_edges = (
         edges.join(lbl_a, "a", "left")
         .join(lbl_b, "b", "left")
@@ -163,18 +162,18 @@ def merge_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    old_labels = prev.select(F.col("component_id").alias(id_col)).distinct()
-    new_only = vertices.select(id_col).join(
-        prev.select(id_col), id_col, "left_anti")
+    old_labels = prev.select(F.col("component_id").alias("clip_id")).distinct()
+    new_only = vertices.select("clip_id").join(
+        prev.select("clip_id"), "clip_id", "left_anti")
     contracted_vertices = old_labels.unionByName(new_only).distinct()
 
     sub = connected_components(
-        contracted_vertices, contracted_edges, id_col=id_col, max_iter=max_iter)
+        contracted_vertices, contracted_edges, max_iter=max_iter)
 
     relabel = sub.select(
-        F.col(id_col).alias("component_id"), F.col("component_id").alias("_new")
+        F.col("clip_id").alias("component_id"), F.col("component_id").alias("_new")
     )
     old = prev.join(relabel, "component_id").select(
-        id_col, F.col("_new").alias("component_id"))
-    new = new_only.join(sub, id_col).select(id_col, "component_id")
+        "clip_id", F.col("_new").alias("component_id"))
+    new = new_only.join(sub, "clip_id").select("clip_id", "component_id")
     return old.unionByName(new)

@@ -148,12 +148,16 @@ class Pipeline:
             if fn.endswith(".parquet"):
                 counts.append(pq.read_metadata(os.path.join(path, fn)).num_rows)
         rows, files = sum(counts), len(counts)
-        nonzero = [c for c in counts if c] or [0]
-        parts = {
-            "part_rows_min": min(nonzero),
-            "part_rows_max": max(nonzero),
-            "part_skew": round(max(nonzero) * len(nonzero) / max(rows, 1), 3),
-        }
+        if rows == 0:
+            parts = {"part_rows_min": 0, "part_rows_max": 0, "part_skew": 1.0}
+        else:
+            # mean over ALL files: "one file holds everything, the rest are
+            # empty" must read as skew = files, not 1.0
+            parts = {
+                "part_rows_min": min(counts),
+                "part_rows_max": max(counts),
+                "part_skew": round(max(counts) * files / rows, 3),
+            }
         return rows, files, parts
 
     def stage(self, name: str, build) -> DataFrame:

@@ -173,10 +173,12 @@ def ingest_signatures_stream(
     )
 
 
-def read_store(spark: SparkSession, store_dir: str, table: str) -> DataFrame:
+def read_store(spark: SparkSession, store_dir: str, table: str,
+               keep_batch: bool = False) -> DataFrame:
     """Accumulated view of one store table across all landed batches. The
-    batch=<id> directory name is a partition column to Spark; drop it so the
-    schema equals the batch pipeline's."""
+    batch=<id> directory name is a partition column to Spark; dropped by
+    default so the schema equals the batch pipeline's (keep_batch retains
+    it -- filters on it prune whole batch directories)."""
     if table not in STORE_TABLES:
         raise ValueError(f"unknown store table {table!r}: {STORE_TABLES}")
     path = os.path.join(store_dir, table)
@@ -186,7 +188,8 @@ def read_store(spark: SparkSession, store_dir: str, table: str) -> DataFrame:
             "this store never wrote it (for 'audio_fp', ingest must run "
             "with PipelineConfig(use_audio_fp=True) -- fingerprints cannot "
             "be recovered from signatures, only from raw clip bytes)")
-    return spark.read.parquet(path).drop("batch")
+    df = spark.read.parquet(path)
+    return df if keep_batch else df.drop("batch")
 
 
 def cluster_store(
@@ -231,16 +234,23 @@ def cluster_store_incremental(
     into a previous clustering without re-clustering the corpus.
 
     The full `cluster_store` re-runs candidates + verification + CC over
-    everything accumulated -- O(corpus) per scheduled run. Here the work is
-    proportional to the delta: only band buckets TOUCHED by a new clip are
-    re-opened (bands of old clips in untouched buckets never join), pairs
-    must involve at least one new clip (old-old pairs inside a touched
-    bucket were candidates of the run that saw both members, so their
-    connectivity is already inside `prev_components`), and the final CC
-    runs on the contracted graph via components.merge_components -- labels
-    provably identical to a full re-run (its docstring carries the
-    argument; test_lambda_incremental_cluster_matches_full pins it
-    end-to-end).
+    everything accumulated -- O(corpus) per scheduled run. Here the
+    new-side inputs are read with batch-partition PRUNING (only delta
+    directories are scanned), only band buckets TOUCHED by a new clip are
+    re-opened, pairs must involve at least one new clip, and the final CC
+    runs on the contracted graph via components.merge_components. The one
+    remaining corpus-proportional step is the single pass that intersects
+    the store's bands with the touched-bucket keys (a projection + one
+    semi-join; the persisted bucketed band store of
+    operators/incremental.py is the shuffle-free production analogue).
+
+    Label semantics vs a full re-run: identical whenever no touched bucket
+    is star-capped (test_lambda_incremental_cluster_matches_full pins
+    this), and otherwise MONOTONE -- connectivity already verified into
+    `prev_components` is never lost, whereas a full re-run of a hot bucket
+    re-samples its star edges and can forget previously verified old-old
+    links. For a dedup system the monotone behavior is the desired one;
+    it is documented rather than traded away.
 
     prev_components: the labeling a previous cluster_store /
     cluster_store_incremental run produced over batches <= since_batch,
@@ -251,19 +261,24 @@ def cluster_store_incremental(
     from ..operators import components
 
     cfg = cfg or PipelineConfig()
-    clips = read_store(spark, store_dir, "clips")
-    clips_b = spark.read.parquet(os.path.join(store_dir, "clips"))
-    new_ids = (clips_b.filter(F.col("batch") > int(since_batch))
-               .select("clip_id").distinct())
 
-    bp = signatures.lsh_bands(read_store(spark, store_dir, "sig_pcm"),
-                              cfg.bands, cfg.rows_per_band, src="pcm")
-    bt = signatures.lsh_bands(read_store(spark, store_dir, "sig_text"),
-                              cfg.bands, cfg.rows_per_band, src="text")
-    bands_all = bp.unionByName(bt)
+    def delta_of(table: str) -> DataFrame:
+        # batch is a partition column: this scans ONLY delta directories
+        return (read_store(spark, store_dir, table, keep_batch=True)
+                .filter(F.col("batch") > int(since_batch)).drop("batch"))
+
+    clips = read_store(spark, store_dir, "clips")
+    new_ids = delta_of("clips").select("clip_id").distinct().persist()
+
+    def bands_of(sig: DataFrame, src: str) -> DataFrame:
+        return signatures.lsh_bands(sig, cfg.bands, cfg.rows_per_band, src=src)
+
+    new_bands = bands_of(delta_of("sig_pcm"), "pcm").unionByName(
+        bands_of(delta_of("sig_text"), "text"))
+    bands_all = bands_of(read_store(spark, store_dir, "sig_pcm"), "pcm").unionByName(
+        bands_of(read_store(spark, store_dir, "sig_text"), "text"))
     key = ["band_id", "band_hash"]
-    touched = (bands_all.join(new_ids, "clip_id", "left_semi")
-               .select(*key).distinct())
+    touched = new_bands.select(*key).distinct()
     in_scope = bands_all.join(touched, key, "left_semi").persist()
     try:
         pairs = cand_ops.candidate_pairs(
@@ -291,7 +306,30 @@ def cluster_store_incremental(
         contained = cand_ops.containment_pass(verified, clips)
         edges = (contained.filter(F.col("is_dup") | F.col("containment"))
                  .select("a", "b"))
+        if cfg.use_audio_fp:
+            # spectral channel: same matcher as the full run, restricted to
+            # pairs that involve a new clip (old-old spectral pairs were
+            # found by the run that saw both members). The matcher's score
+            # normalization needs the FULL fingerprint relation (per-clip
+            # n_fp counts), so the restriction applies to its output, not
+            # its input -- this stage is hash-bucketed + df-pruned, the
+            # cheapest of the cross-clip joins.
+            from ..operators import audio_fp
+
+            fp_pairs = audio_fp.fingerprint_pairs(
+                read_store(spark, store_dir, "audio_fp"),
+                min_frac=cfg.audio_fp_min_frac,
+                min_matches=cfg.audio_fp_min_matches,
+            )
+            fp_delta = (
+                fp_pairs.join(na, "a", "left").join(nb, "b", "left")
+                .filter(F.coalesce("_na", F.lit(False))
+                        | F.coalesce("_nb", F.lit(False)))
+                .select("a", "b")
+            )
+            edges = edges.unionByName(fp_delta).distinct()
         return components.merge_components(
             prev_components, new_ids, edges).localCheckpoint()
     finally:
         in_scope.unpersist()
+        new_ids.unpersist()
