@@ -346,16 +346,21 @@ def _exec_count_with_shuffle(df) -> tuple[int, float, int]:
 
     def walk(node):
         nonlocal total
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("ReusedExchange"):
+            # a reused exchange mirrors the original's metrics and subtree;
+            # counting or recursing would double-count the one physical
+            # shuffle
+            return
         it = node.metrics().iterator()
         while it.hasNext():
             kv = it.next()
             if kv._1() == "shuffleBytesWritten":
                 total += kv._2().value()
-        name = node.nodeName()
-        if name == "AdaptiveSparkPlan":
+        if node.nodeName() == "AdaptiveSparkPlan":
             walk(node.executedPlan())
             return
-        if node.getClass().getSimpleName().endswith("QueryStageExec"):
+        if cls.endswith("QueryStageExec"):
             walk(node.plan())
             return
         ch = node.children()
@@ -431,8 +436,8 @@ def store_evidence(cpus: int) -> dict:
             hits, shuf = {}, {}
             for _ in range(2):  # interleaved best-of-2 (skew_evidence note)
                 for m, fn in modes.items():
-                    n, sec, sb = _exec_count_with_shuffle(fn())
-                    hits[m], shuf[m] = n, sb
+                    cnt, sec, sb = _exec_count_with_shuffle(fn())
+                    hits[m], shuf[m] = cnt, sb
                     best[m] = min(best[m], sec)
             assert len(set(hits.values())) == 1, hits  # all plans agree
             ev[f"store_probe_hits_{tag}"] = hits["bucketed"]

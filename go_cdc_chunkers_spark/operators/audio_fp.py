@@ -145,11 +145,31 @@ def prune_common_hashes(fps: DataFrame, max_df: int = 32) -> DataFrame:
     return fps.join(keep, "hash", "left_semi")
 
 
+def scoped_fingerprints(
+    pruned: DataFrame, scope_clip_ids: DataFrame
+) -> DataFrame:
+    """The delta-bounded match-join input: rows of a canonicalized+pruned
+    fingerprint relation whose hash appears in at least one scope clip's
+    fingerprints. Every landmark a scope clip shares with ANY clip is a
+    landmark the scope clip itself carries, so restricting BOTH join sides
+    to this subset preserves every match row of every pair that involves a
+    scope clip -- per-offset counts for those pairs are exactly the full
+    run's. Rows carrying hashes no scope clip has (the O(corpus) bulk of an
+    incremental run's store) never enter the join."""
+    delta_hashes = (
+        pruned.join(scope_clip_ids.select("clip_id"), "clip_id", "left_semi")
+        .select("hash")
+        .distinct()
+    )
+    return pruned.join(delta_hashes, "hash", "left_semi")
+
+
 def fingerprint_pairs(
     fps: DataFrame,
     min_frac: float = 0.25,
     min_matches: int = 8,
     max_df: int = 32,
+    scope_clip_ids: DataFrame | None = None,
 ) -> DataFrame:
     """-> pairs(a, b, aligned_matches, match_frac). A match counts only at
     the pair's best-aligned time offset (insertions shift later frames by
@@ -162,12 +182,24 @@ def fingerprint_pairs(
     FFT UDF once per reference. Same stage-boundary contract as every
     plans/pipeline.py stage; entry_queries.audio_fp_neardup materializes,
     and tests/test_plan_shapes.py pins zero Python stages downstream of
-    the materialized scan."""
+    the materialized scan.
+
+    scope_clip_ids(clip_id): incremental mode. Returns exactly the full
+    run's pairs that involve a scope clip, but the expensive hash equi-join
+    runs only over scoped_fingerprints() -- rows whose hash a scope clip
+    carries -- so join cost is bounded by the delta's hash set, not the
+    corpus. The two full-relation passes that remain are count-only
+    aggregates (per-clip n_fp for match_frac denominators, per-hash df for
+    the stop-hash prune): both are map-side-combinable single aggregations
+    with no pair blowup, the honest O(store-scan) floor any
+    normalization-correct incremental matcher pays."""
     pruned = prune_common_hashes(canonical_fingerprints(fps), max_df=max_df)
     sizes = pruned.groupBy("clip_id").agg(F.count("*").cast("long").alias("n_fp"))
+    joinable = (pruned if scope_clip_ids is None
+                else scoped_fingerprints(pruned, scope_clip_ids))
 
-    left = pruned.select(F.col("clip_id").alias("a"), "hash", F.col("t").alias("ta"))
-    right = pruned.select(F.col("clip_id").alias("b"), "hash", F.col("t").alias("tb"))
+    left = joinable.select(F.col("clip_id").alias("a"), "hash", F.col("t").alias("ta"))
+    right = joinable.select(F.col("clip_id").alias("b"), "hash", F.col("t").alias("tb"))
     per_offset = (
         left.join(right, "hash")
         .filter(F.col("a") < F.col("b"))
@@ -175,6 +207,20 @@ def fingerprint_pairs(
         .agg(F.count("*").cast("long").alias("c"))
     )
     best = per_offset.groupBy("a", "b").agg(F.max("c").alias("aligned_matches"))
+    if scope_clip_ids is not None:
+        # old-old pairs that merely share a delta hash: drop them (the run
+        # that saw both members already found them); keep delta-involving
+        # pairs, whose counts above are exact (scoped_fingerprints doc).
+        ids = scope_clip_ids.select("clip_id")
+        best = (
+            best.join(ids.select(F.col("clip_id").alias("a"),
+                                 F.lit(True).alias("_na")), "a", "left")
+            .join(ids.select(F.col("clip_id").alias("b"),
+                             F.lit(True).alias("_nb")), "b", "left")
+            .filter(F.coalesce("_na", F.lit(False))
+                    | F.coalesce("_nb", F.lit(False)))
+            .drop("_na", "_nb")
+        )
     na = sizes.select(F.col("clip_id").alias("a"), F.col("n_fp").alias("_na"))
     nb = sizes.select(F.col("clip_id").alias("b"), F.col("n_fp").alias("_nb"))
     return (

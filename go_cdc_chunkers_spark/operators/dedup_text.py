@@ -231,20 +231,19 @@ def simhash_pairs_from_pieces(pieces: DataFrame, max_hamming: int = 12,
         .select("a", "b", "sa", "sb")
     )
 
-    # n_hubs smallest ids per hot bucket, computed as a grouped sorted-slice
-    # (no per-bucket window over the full big set): tiny relation, broadcast
-    # back onto the bucket members.
+    # n_hubs smallest ids per hot bucket via a row_number window over the
+    # `big` subset only. The window sorts (spillable, bounded task memory);
+    # a collect_list aggregation here would materialize the WHOLE hot bucket
+    # in one aggregation buffer -- O(m) memory in exactly the pathological
+    # case the cap exists for (a boilerplate 16-bit piece at 10^12 docs can
+    # hold 10^8+ members). The surviving relation is <= n_hubs rows per hot
+    # bucket: tiny, broadcast back onto the bucket members.
+    wb = Window.partitionBy("piece_id", "piece").orderBy("clip_id")
     hubs = (
-        big.groupBy("piece_id", "piece")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("clip_id", "simhash"))),
-                1, n_hubs,
-            ).alias("_hubs")
-        )
-        .select("piece_id", "piece", F.explode("_hubs").alias("_h"))
+        big.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= n_hubs)
         .select("piece_id", "piece",
-                F.col("_h.clip_id").alias("_hid"), F.col("_h.simhash").alias("_hsim"))
+                F.col("clip_id").alias("_hid"), F.col("simhash").alias("_hsim"))
     )
     pairs_big = (
         big.join(F.broadcast(hubs), ["piece_id", "piece"])

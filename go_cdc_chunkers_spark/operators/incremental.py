@@ -160,13 +160,18 @@ def register_chunk_store(
         raise ValueError(
             f"n_buckets {n_buckets} != store's {meta['n_buckets']} at {path}")
     if schema_ddl is not None:
-        want = [c.strip().split(" ")[0].strip("`").lower()
-                for c in schema_ddl.split(",")]
-        have = [c.strip().split(" ")[0].strip("`").lower()
-                for c in meta["schema_ddl"].split(",")]
-        if want != have:
+        # parse, don't string-split: types containing commas (DECIMAL(10,2),
+        # STRUCT/ARRAY) would produce spurious mismatches under a naive
+        # ','-split. Compared in the same order/nullability-insensitive
+        # canonical form the store metadata records (_canon_cols).
+        from pyspark.sql.types import StructType
+
+        want = sorted([f.name.lower(), f.dataType.simpleString()]
+                      for f in StructType.fromDDL(schema_ddl).fields)
+        if want != meta["columns"]:
             raise ValueError(
-                f"schema_ddl columns {want} != store's {have} at {path}")
+                f"schema_ddl columns {want} != store's {meta['columns']} "
+                f"at {path}")
     if spark.catalog.tableExists(table):
         # IF NOT EXISTS would silently keep the old registration -- a table
         # name reused for a different store would then serve the WRONG
@@ -335,11 +340,14 @@ def compact_store(
     os.rename(path, old)
     os.rename(tmp, path)
     # preserve sidecar files other layers keep beside the store (e.g. the
-    # CLI's _chunking.json) -- the rewrite owns only parquet + its own meta
+    # CLI's _chunking.json) -- the rewrite owns only parquet + its own
+    # meta. Dotfiles are Hadoop bookkeeping for the OLD files (stale
+    # .part-*.parquet.crc checksums would shadow nothing but confuse
+    # audits), never an intentional sidecar: skipped.
     for fn in os.listdir(old):
         src, dst = os.path.join(old, fn), os.path.join(path, fn)
-        if (os.path.isfile(src) and not fn.endswith(".parquet")
-                and not os.path.exists(dst)):
+        if (os.path.isfile(src) and not fn.startswith(".")
+                and not fn.endswith(".parquet") and not os.path.exists(dst)):
             shutil.copy2(src, dst)
     shutil.rmtree(old)
     register_chunk_store(spark, table, path)

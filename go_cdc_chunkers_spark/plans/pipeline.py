@@ -81,12 +81,19 @@ class PipelineConfig:
     # Canonical-first: collapse byte-identical clips to one canonical
     # (min clip_id per sha256(bytes)) BEFORE chunking, run every expensive
     # stage on distinct content only, and expand components back at the
-    # end. Provably lossless for clustering: identical bytes yield
-    # identical chunks/signatures/bands, so an exact copy reaches exactly
-    # the clusters its canonical reaches -- and because the canonical is
-    # the min id of its group, final component labels (min id of the
-    # component) are IDENTICAL to the non-collapsed run, pinned by
-    # tests/test_pipeline_recall.py::test_exact_first_identical_components.
+    # end. Lossless for clustering: identical bytes yield identical
+    # chunks/signatures/bands, so an exact copy reaches exactly the
+    # clusters its canonical reaches -- and because the canonical is the
+    # min id of its group, final component labels (min id of the
+    # component) are IDENTICAL to the non-collapsed run whenever no band
+    # bucket exceeds pair_cap (pinned by tests/test_pipeline_recall.py::
+    # test_exact_first_identical_components). When a bucket is star-capped
+    # only in the non-collapsed run (exact copies inflate bucket sizes),
+    # the star fallback samples different edges: exact-first then retains
+    # a SUPERSET of the sampled pairs (fewer rows per bucket, later or no
+    # cap), so labels can differ in the direction of keeping more
+    # verified connectivity -- the same monotonicity caveat documented for
+    # incremental clustering (streaming/lambda_arch.py).
     # At 10^12-clip scale re-uploads dominate ingest, so this removes the
     # exact-dup fraction from chunking, MinHash, banding, and the
     # candidate join; cost is one sha256 projection + one groupBy on a

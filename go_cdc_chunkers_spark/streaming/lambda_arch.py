@@ -307,26 +307,22 @@ def cluster_store_incremental(
         edges = (contained.filter(F.col("is_dup") | F.col("containment"))
                  .select("a", "b"))
         if cfg.use_audio_fp:
-            # spectral channel: same matcher as the full run, restricted to
-            # pairs that involve a new clip (old-old spectral pairs were
-            # found by the run that saw both members). The matcher's score
-            # normalization needs the FULL fingerprint relation (per-clip
-            # n_fp counts), so the restriction applies to its output, not
-            # its input -- this stage is hash-bucketed + df-pruned, the
-            # cheapest of the cross-clip joins.
+            # spectral channel, delta-bounded: scope_clip_ids restricts the
+            # landmark equi-join to hashes the NEW clips carry
+            # (audio_fp.scoped_fingerprints) and returns only pairs
+            # involving a new clip (old-old spectral pairs were found by
+            # the run that saw both members). The only full-store passes
+            # left are the count-only aggregates score normalization
+            # genuinely needs (per-clip n_fp, per-hash df) -- no
+            # corpus-sized join side anywhere in this branch.
             from ..operators import audio_fp
 
-            fp_pairs = audio_fp.fingerprint_pairs(
+            fp_delta = audio_fp.fingerprint_pairs(
                 read_store(spark, store_dir, "audio_fp"),
                 min_frac=cfg.audio_fp_min_frac,
                 min_matches=cfg.audio_fp_min_matches,
-            )
-            fp_delta = (
-                fp_pairs.join(na, "a", "left").join(nb, "b", "left")
-                .filter(F.coalesce("_na", F.lit(False))
-                        | F.coalesce("_nb", F.lit(False)))
-                .select("a", "b")
-            )
+                scope_clip_ids=new_ids,
+            ).select("a", "b")
             edges = edges.unionByName(fp_delta).distinct()
         return components.merge_components(
             prev_components, new_ids, edges).localCheckpoint()

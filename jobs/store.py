@@ -70,8 +70,13 @@ def _chunks(spark, args, chunking_cfg: dict):
         clips = clips_from_files(spark, args.path, glob=args.glob,
                                  codec=args.codec, sr_hz=args.sr_hz)
     c = chunking_cfg
+    # any size flag builds opts (ChunkerOpts fields left None resolve to the
+    # algorithm's defaults in cdc/opts.resolve); gating on normal_size alone
+    # would silently ignore --min-size/--max-size while _chunking.json still
+    # records them as the store's hash-defining parameters
+    any_size = any(c[k] is not None for k in ("min_size", "normal_size", "max_size"))
     opts = ChunkerOpts(min_size=c["min_size"], normal_size=c["normal_size"],
-                       max_size=c["max_size"]) if c["normal_size"] else None
+                       max_size=c["max_size"]) if any_size else None
     # offset is part of the store schema; chunk_clips emits it
     return chunk_clips(clips, c["algo"], opts)
 

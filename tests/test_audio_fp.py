@@ -75,6 +75,63 @@ def test_chunk_minhash_blind_to_jitter_audio_fp_not(spark):
     assert jitter_pairs <= fp_pairs, jitter_pairs - fp_pairs
 
 
+def test_scoped_pairs_equal_full_pairs_involving_scope(spark, chord_corpus):
+    """Delta mode (scope_clip_ids) returns EXACTLY the full run's pairs
+    that involve a scope clip -- same rows, same aligned_matches, same
+    match_frac (the restriction is provably lossless for scope-involving
+    pairs: every matched hash of such a pair is a hash the scope clip
+    carries, so the scoped join sees all its match rows)."""
+    rows, truth, kinds = chord_corpus
+    fps = audio_fp.spectral_fingerprints(_clips_df(spark, rows)).cache()
+    try:
+        scope_ids = sorted(kinds)[: max(2, len(kinds) // 2)]  # some variants
+        scope = spark.createDataFrame([(c,) for c in scope_ids], "clip_id string")
+        full = {(r.a, r.b): (r.aligned_matches, round(r.match_frac, 9))
+                for r in audio_fp.fingerprint_pairs(fps).collect()}
+        want = {k: v for k, v in full.items()
+                if k[0] in set(scope_ids) or k[1] in set(scope_ids)}
+        got = {(r.a, r.b): (r.aligned_matches, round(r.match_frac, 9))
+               for r in audio_fp.fingerprint_pairs(
+                   fps, scope_clip_ids=scope).collect()}
+        assert got == want
+        assert len(full) > len(want)  # the fixture really has old-old pairs
+    finally:
+        fps.unpersist()
+
+
+def test_scoped_join_input_bounded_by_delta_hash_set(spark):
+    """The scale property the incremental spectral channel buys: the match
+    join's input (scoped_fingerprints) contains ONLY rows whose hash a
+    scope clip carries -- an old-clip population with disjoint landmarks
+    contributes zero join rows no matter how large it is."""
+    # synthetic fingerprint relation, no FFT: 50 old clips x 40 hashes in
+    # [1000, 2000); 2 new clips x 10 hashes in [0, 10) plus 3 hashes shared
+    # with old clip "old-0" ([1000, 1003))
+    rows = []
+    for i in range(50):
+        rows += [(f"old-{i}", 1000 + 17 * i % 1000 + j, j) for j in range(40)]
+    for i in range(2):  # disjoint per-new-clip hash ranges: 0-9 and 100-109
+        rows += [(f"new-{i}", 100 * i + j, j) for j in range(10)]
+    rows += [("new-0", 1000 + j, 50 + j) for j in range(3)]
+    fps = spark.createDataFrame(rows, "clip_id string, hash long, t int")
+    pruned = audio_fp.prune_common_hashes(
+        audio_fp.canonical_fingerprints(fps), max_df=32)
+    scope = spark.createDataFrame([("new-0",), ("new-1",)], "clip_id string")
+    scoped = audio_fp.scoped_fingerprints(pruned, scope).collect()
+
+    delta_hashes = {r.hash for r in pruned.join(
+        scope, "clip_id", "left_semi").collect()}
+    assert {r.hash for r in scoped} <= delta_hashes
+    # bounded: only new rows + the 3 shared old rows survive; the other
+    # ~2000 old rows never enter the join
+    assert len(scoped) <= len(delta_hashes) * 33  # max_df clips per hash
+    assert len(scoped) < 50  # vs ~2000 unscoped
+    # and the pairs still find the genuine new-old overlap relation intact
+    got = {(r.a, r.b) for r in audio_fp.fingerprint_pairs(
+        fps, min_frac=0.2, min_matches=3, scope_clip_ids=scope).collect()}
+    assert got == {("new-0", "old-0")}
+
+
 def test_landmarks_deterministic_and_scale_invariant():
     rng = np.random.default_rng(5)
     t = np.arange(32000) / 16000.0

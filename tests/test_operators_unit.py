@@ -388,6 +388,25 @@ def test_simhash_hot_bucket_star_cap(spark):
     assert n_comps == 1
 
 
+def test_simhash_hub_selection_plan_has_no_unbounded_collect(spark):
+    """Hot-bucket hub selection must never materialize a whole bucket in
+    one aggregation buffer: the plan for simhash_pairs_from_pieces contains
+    no collect_list (and no object-hash aggregate, its physical carrier) --
+    hubs come from a row_number window over the hot subset, which
+    sort-spills instead of buffering O(bucket) rows."""
+    from go_cdc_chunkers_spark.operators import dedup_text
+
+    rows = [(i, "spam ham eggs " * 10) for i in range(300)]
+    rows += [(1000 + j, f"doc {j} words {j * 7}") for j in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup_text.simhash_pairs_from_pieces(
+        dedup_text.simhash_pieces(docs, text_col="text", id_col="doc_id"),
+        max_hamming=16, pair_cap=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+
+
 def test_ivf_topk_recall_on_clustered_vectors(spark):
     rng = np.random.default_rng(6)
     centers = rng.standard_normal((8, 24)) * 3

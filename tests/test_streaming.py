@@ -451,3 +451,49 @@ def test_lambda_incremental_cluster_matches_full(spark, tmp_path):
     mixed = [m for m in by_comp.values()
              if any(c in new_ids for c in m) and any(c not in new_ids for c in m)]
     assert mixed, "fixture produced no cross-phase duplicate group"
+
+
+def test_lambda_incremental_cluster_spectral_matches_full(spark, tmp_path):
+    """Incremental batch layer with the spectral channel ON: the delta run
+    must still match a full re-cluster bit-for-bit, including an edge only
+    the (now delta-bounded) landmark matcher can find -- a jittered chord
+    variant whose transcript was rewritten, invisible to both the
+    chunk-digest and text channels."""
+    import numpy as np
+
+    from go_cdc_chunkers_spark.plans.pipeline import PipelineConfig
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        cluster_store, cluster_store_incremental, make_signature_sink)
+
+    cfg = PipelineConfig(use_audio_fp=True)
+    rows, truth, _k = clips_src.generate_chord_clips(
+        n_base=8, dup_frac=0.25, jitter_frac=0.0, insert_frac=0.0, seed=23)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store, cfg)
+    sink(df_of(rows[: len(rows) // 2]), 0)
+    sink(df_of(rows[len(rows) // 2:]), 1)
+    prev = cluster_store(
+        spark, store, str(tmp_path / "run1"), cfg).localCheckpoint()
+
+    base = rows[0]
+    pcm = np.frombuffer(base["bytes"], dtype="<i2")
+    jit = np.clip(pcm.astype(np.float64) * 1.02, -32768, 32767).astype("<i2")
+    nd = dict(base, clip_id="stream-jitter", bytes=jit.tobytes(),
+              transcript="totally different words here")
+    sink(df_of([nd]), 2)
+
+    full = cluster_store(spark, store, str(tmp_path / "run2"), cfg)
+    incr = cluster_store_incremental(spark, store, prev, since_batch=1, cfg=cfg)
+    want = sorted((r.clip_id, r.component_id) for r in full.collect())
+    got = sorted((r.clip_id, r.component_id) for r in incr.collect())
+    assert got == want
+    label = dict(got)
+    assert label["stream-jitter"] == label[base["clip_id"]]
