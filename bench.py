@@ -486,9 +486,82 @@ def chunk_only_session(cpus: int, n_base: int, replicate: int):
         spark.stop()
 
 
-def pipeline_session(cpus: int, n_base: int, exact_first: bool = False):
+class RssSampler:
+    """Peak-RSS sampling over this process tree (driver python + the local
+    JVM + pyspark workers), the cmd/cdcbench memory story
+    (/root/reference/cmd/cdcbench/bench.go:138-173 samples RSS/GC over the
+    run): a daemon thread sums /proc/<pid>/status VmRSS across all
+    descendants every `interval` seconds and keeps the max. On a real
+    cluster Spark's executor metrics carry this; locally the process tree
+    IS the cluster."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self.interval = interval
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _descendants_rss() -> int:
+        me = os.getpid()
+        ppid_of, rss_of = {}, {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/status") as f:
+                    ppid = rss = 0
+                    for line in f:
+                        if line.startswith("PPid:"):
+                            ppid = int(line.split()[1])
+                        elif line.startswith("VmRSS:"):
+                            rss = int(line.split()[1]) * 1024
+                ppid_of[int(d)], rss_of[int(d)] = ppid, rss
+            except OSError:
+                continue
+        total = rss_of.get(me, 0)
+        members = {me}
+        # pids are unordered; iterate to closure (tree depth is tiny)
+        changed = True
+        while changed:
+            changed = False
+            for pid, ppid in ppid_of.items():
+                if ppid in members and pid not in members:
+                    members.add(pid)
+                    total += rss_of.get(pid, 0)
+                    changed = True
+        return total
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                self.peak = max(self.peak, self._descendants_rss())
+            except OSError:
+                pass
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+        return False
+
+    @property
+    def peak_mb(self) -> float:
+        return round(self.peak / 1e6, 1)
+
+
+def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
+                     ranged: bool = False):
     """One fresh-JVM pipeline run; returns clips/sec + per-stage seconds
-    (from the pipeline's own lineage rows)."""
+    (from the pipeline's own lineage rows) + peak process-tree RSS.
+    ranged=True sets max_cell_bytes=128 KB, routing the 4-8 s clips
+    (~128-256 KB) through the bounded-memory ranged chunker."""
     from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
     from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
     from go_cdc_chunkers_spark.session import get_spark
@@ -501,25 +574,181 @@ def pipeline_session(cpus: int, n_base: int, exact_first: bool = False):
         clips.count()
         cfg = PipelineConfig(chunk_opts=ChunkerOpts(
             min_size=256, normal_size=1024, max_size=8192),
-            exact_first=exact_first)
+            exact_first=exact_first,
+            max_cell_bytes=(128 << 10) if ranged else None)
         pipe = Pipeline(spark, wd, cfg)
-        t = time.time()
-        pipe.run(clips).count()
-        dt = time.time() - t
+        with RssSampler() as rss:
+            t = time.time()
+            pipe.run(clips).count()
+            dt = time.time() - t
         stages = {}
+        extras = {}
         with open(os.path.join(wd, "lineage.jsonl")) as f:
             for line in f:
                 row = json.loads(line)
                 stages[row["stage"]] = round(row["finished"] - row["started"], 3)
+                if row["stage"] == "bigfile_stitch":
+                    extras["bigfile_routed_files"] = row["rows_out"]
+                    extras["bigfile_fallback_files"] = row["bigfile_fallback_files"]
         return {
             "cpus": cpus, "n_clips": n_clips,
             "corpus_mb": round(total_bytes / 1e6, 1),
             "sec": round(dt, 3), "clips_per_sec": round(n_clips / dt, 2),
-            "stage_sec": stages,
+            "peak_rss_mb": rss.peak_mb,
+            "stage_sec": stages, **extras,
         }
     finally:
         shutil.rmtree(wd, ignore_errors=True)
         spark.stop()
+
+
+def ensure_big_file(mb: int) -> str:
+    """Deterministic pseudo-random >=1 GB payload for the ranged-chunking
+    evidence, written once under .bench/ (seeded PCG chunks, 1 MB at a
+    time -- no GB-sized allocation)."""
+    path = os.path.join(BENCH_DIR, f"bigfile_{mb}mb.bin")
+    if not os.path.exists(path):
+        import numpy as np
+
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        rng = np.random.default_rng(4242)
+        with open(path + ".tmp", "wb") as f:
+            for _ in range(mb):
+                f.write(rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes())
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def bigfile_evidence(cpus: int) -> dict:
+    """GB-scale ranged-chunking evidence (the '1 TB file = 32k independent
+    tasks' claim, operators/bigfile.py): chunk one >=1 GB file as 32 MB
+    range tasks + distributed seam stitch vs ONE whole-buffer task.
+    Reports byte-identity of the two chunk relations, wall-clock for both,
+    the stitch join's own overhead on top of the range scan, the overlap
+    read amplification, and the resync-failure (fallback) count -- random
+    content must stitch everywhere. SPARK_GRAFT_BIGFILE_MB sizes the file
+    (default 1024)."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.cdc.opts import resolve
+    from go_cdc_chunkers_spark.operators import bigfile
+    from go_cdc_chunkers_spark.session import get_spark
+
+    mb = int(os.environ.get("SPARK_GRAFT_BIGFILE_MB", "1024"))
+    path = ensure_big_file(mb)
+    size = os.path.getsize(path)
+    r = resolve("fastcdc-v1.0.0", None)
+    R, O = 32 << 20, 8 * r.max_size
+    spark = get_spark(app="bench-bigfile", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ev: dict = {"bigfile_mb": mb, "bigfile_range_mb": 32}
+    try:
+        files = spark.createDataFrame([(path, size)], "clip_id string, size long")
+        ranges = bigfile.plan_ranges(files, R, O)
+        ev["bigfile_n_ranges"] = ranges.count()
+        ev["bigfile_read_amplification"] = round(
+            (size + (ev["bigfile_n_ranges"] - 1) * O) / size, 4)
+        whole = files.select(
+            "clip_id", "size", F.lit(1).alias("n_ranges"),
+            F.lit(0).alias("range_idx"), F.lit(0).cast("long").alias("start"),
+            F.col("size").alias("read_len"))
+
+        def fingerprint(df):
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum("length").alias("bytes"),
+                # modular row-hash sum: order-free identity check that can't
+                # overflow ANSI long arithmetic (n * 1e9+7 << 2^63)
+                F.sum(F.pmod(F.xxhash64("offset", "length", "chunk_hash"),
+                             F.lit(1_000_000_007))).alias("h"),
+            ).collect()[0]
+            return int(row["n"]), int(row["bytes"]), int(row["h"])
+
+        # warm page cache + JIT once per shape, then best-of-2
+        best_scan = best_ranged = best_whole = float("inf")
+        fp_ranged = fp_whole = None
+        n_fail = None
+        for rep in range(3):  # rep 0 = warmup
+            cand = bigfile.chunk_ranges(ranges, r).persist()
+            t = time.time()
+            cand.count()
+            t_scan = time.time() - t
+            chunks, failed = bigfile.stitch_candidates(cand, files, r, R)
+            t = time.time()
+            fp_ranged = fingerprint(chunks)
+            t_ranged = t_scan + (time.time() - t)
+            n_fail = failed.count()
+            cand.unpersist()
+
+            t = time.time()
+            fp_whole = fingerprint(
+                bigfile.chunk_ranges(whole, r).select(
+                    "clip_id", "offset", "length", "chunk_hash"))
+            t_whole = time.time() - t
+            if rep == 0:
+                continue
+            best_scan = min(best_scan, t_scan)
+            best_ranged = min(best_ranged, t_ranged)
+            best_whole = min(best_whole, t_whole)
+
+        assert fp_ranged == fp_whole, (fp_ranged, fp_whole)
+        ev["bigfile_chunks"] = fp_ranged[0]
+        ev["bigfile_identical_to_whole"] = True
+        ev["bigfile_fallback_files"] = int(n_fail)
+        ev["bigfile_sec_ranged"] = round(best_ranged, 3)
+        ev["bigfile_sec_range_scan"] = round(best_scan, 3)
+        ev["bigfile_sec_stitch_overhead"] = round(best_ranged - best_scan, 3)
+        ev["bigfile_sec_whole"] = round(best_whole, 3)
+        ev["bigfile_speedup_vs_whole"] = round(best_whole / best_ranged, 2)
+        ev["bigfile_mb_per_sec_ranged"] = round(size / 1e6 / best_ranged, 1)
+        ev["bigfile_mb_per_sec_whole"] = round(size / 1e6 / best_whole, 1)
+    finally:
+        spark.stop()
+    return ev
+
+
+def ab_pipeline_run(cpus: int, n_base: int, rounds: int = 3) -> dict:
+    """Interleaved fresh-JVM A/B of neardup_pipeline: this tree vs the
+    round-3 snapshot commit (git worktree under /tmp), alternating runs so
+    both sample the same noise windows (VERDICT r3 item 5 -- the r3-vs-r2
+    comparison read +9% from non-interleaved single shots). Per-tree
+    best-of-rounds total + per-stage minima."""
+    import subprocess
+
+    ref = os.environ.get("SPARK_GRAFT_AB_REF", "fab0741")
+    wt = os.path.join(tempfile.gettempdir(), f"spark_graft_ab_{ref}")
+    if not os.path.exists(os.path.join(wt, "bench.py")):
+        subprocess.run(["git", "-C", ROOT, "worktree", "add", "--detach",
+                        "-f", wt, ref], check=True, capture_output=True)
+    trees = {"r3": os.path.join(wt, "bench.py"),
+             "r4": os.path.abspath(__file__)}
+    best = {k: float("inf") for k in trees}
+    stage_min: dict = {k: {} for k in trees}
+    history = []
+    for _ in range(rounds):
+        for tag, script in trees.items():
+            r = subprocess.run(
+                [sys.executable, script, "--pipeline-one", str(cpus),
+                 str(n_base)],
+                capture_output=True, text=True, timeout=1800)
+            assert r.returncode == 0, (tag, r.stderr[-2000:])
+            run = json.loads(r.stdout.strip().splitlines()[-1])
+            history.append({"tree": tag, "sec": run["sec"]})
+            best[tag] = min(best[tag], run["sec"])
+            for st, sec in run["stage_sec"].items():
+                cur = stage_min[tag].get(st)
+                stage_min[tag][st] = sec if cur is None else min(cur, sec)
+    sums = {k: round(sum(v.values()), 3) for k, v in stage_min.items()}
+    return {
+        "metric": "pipeline_ab_r4_vs_r3",
+        "ref_commit": ref, "rounds": rounds, "n_clips_base": n_base,
+        "sec_r3": best["r3"], "sec_r4": best["r4"],
+        "sum_stage_min_r3": sums["r3"], "sum_stage_min_r4": sums["r4"],
+        "r4_over_r3_best": round(best["r4"] / best["r3"], 3),
+        "r4_over_r3_stage_min": round(sums["r4"] / sums["r3"], 3),
+        "stage_sec_r3": stage_min["r3"], "stage_sec_r4": stage_min["r4"],
+        "history": history,
+    }
 
 
 def pipeline_scale_run(cpus: int, sizes=(600, 6000)):
@@ -613,9 +842,47 @@ def main():
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-one":
+        mode = sys.argv[4] if len(sys.argv) > 4 else "off"
         print(json.dumps(pipeline_session(
             int(sys.argv[2]), int(sys.argv[3]),
-            exact_first=len(sys.argv) > 4 and sys.argv[4] == "exact")))
+            exact_first=mode == "exact", ranged=mode == "ranged")))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--bigfile":
+        print(json.dumps({"metric": "bigfile_ranged_chunking",
+                          **bigfile_evidence(cpus)}))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ab-pipeline":
+        print(json.dumps(ab_pipeline_run(cpus, n_base)))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--rss":
+        # peak process-tree RSS per pipeline mode (default / canonical-first
+        # / ranged chunking), interleaved fresh JVMs; the cmd/cdcbench
+        # memory story. Ranged must not RAISE peak RSS (its point is
+        # bounded per-task memory; at this corpus the win is headroom, not
+        # footprint -- the whole corpus fits either way).
+        import subprocess
+
+        rounds = 2
+        out: dict = {"metric": "pipeline_peak_rss", "rounds": rounds}
+        peak = {m: 0.0 for m in ("off", "exact", "ranged")}
+        sec = {m: float("inf") for m in peak}
+        for _ in range(rounds):
+            for m in peak:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-one", str(cpus), str(n_base), m],
+                    capture_output=True, text=True, timeout=1800)
+                assert r.returncode == 0, (m, r.stderr[-2000:])
+                run = json.loads(r.stdout.strip().splitlines()[-1])
+                peak[m] = max(peak[m], run["peak_rss_mb"])
+                sec[m] = min(sec[m], run["sec"])
+        for m in peak:
+            out[f"peak_rss_mb_{m}"] = peak[m]
+            out[f"sec_{m}"] = sec[m]
+        print(json.dumps(out))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--exact-first":

@@ -1636,16 +1636,19 @@ ORDER BY a, b
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the memory-compression path,
     operators/similarity.py): 64-dim embeddings -> 4 subspaces x 8-code
-    deterministic codebooks -> ADC inner-product over the code table ->
-    exact re-rank of the top-20 compressed candidates. Codebooks (the
-    iterative k-means) and codes are materialized; the oracle replays
-    encode-consistency, the query LUT, ADC scoring, candidate selection,
-    and the exact top-5 relationally (lambda-free, the _ANN_DIMS/_SCORE
-    pattern)."""
+    deterministic codebooks trained on a 50% deterministic hash-sample
+    (similarity.train_sample -- the 10^12-vector shape: codebook quality
+    needs O(100x ks) rows, not the corpus) -> ADC inner-product over the
+    code table -> exact re-rank of the top-20 compressed candidates.
+    Codebooks (the iterative k-means) and codes are materialized; the
+    oracle replays encode-consistency, the query LUT, ADC scoring,
+    candidate selection, and the exact top-5 relationally (lambda-free,
+    the _ANN_DIMS/_SCORE pattern)."""
     from .operators import similarity
 
     emb = _table(spark, sf_dir, "embeddings")
-    cb = similarity.pq_codebooks(emb, m=4, ks=8, iters=1, dim=64)
+    cb = similarity.pq_codebooks(emb, m=4, ks=8, iters=1, dim=64,
+                                 train_fraction=0.5)
     cbm = _materialize(spark, cb, "ann_pq_codebooks")
     codes = similarity.pq_encode(emb, cbm, m=4, dsub=16)
     cdm = _materialize(spark, codes, "ann_pq_codes")

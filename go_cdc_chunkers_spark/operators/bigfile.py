@@ -107,11 +107,15 @@ def plan_ranges(files: DataFrame, range_bytes: int, overlap: int) -> DataFrame:
     )
 
 
-def chunk_ranges(ranges: DataFrame, r: ResolvedOpts, digest: bool = True) -> DataFrame:
+def chunk_ranges(ranges: DataFrame, r: ResolvedOpts,
+                 digest: bool | str = True) -> DataFrame:
     """Cold-start the kernel on each range read. Bytes are read inside the
     UDF (seek+read of exactly read_len) and never enter the plan; output is
     candidate-chunk metadata with ABSOLUTE offsets. Ranges are shuffled by
-    (clip_id, range_idx) first so one huge file spreads over the cluster."""
+    (clip_id, range_idx) first so one huge file spreads over the cluster.
+    digest follows kernels.split_chunks: True/"sha256", "poly128", False."""
+    if digest not in (True, False, "sha256", "poly128"):
+        raise ValueError(f"unknown digest kind {digest!r}")
 
     def gen(batches):
         for pdf in batches:
@@ -127,9 +131,21 @@ def chunk_ranges(ranges: DataFrame, r: ResolvedOpts, digest: bool = True) -> Dat
                 with open(path, "rb") as f:
                     f.seek(int(start))
                     data = f.read(int(rlen))
+                lengths = kernels.split_lengths(r, data)
+                if digest == "poly128":
+                    import numpy as _np
+
+                    packed = _np.ascontiguousarray(
+                        kernels.digest_poly128(data, lengths), dtype="<u8"
+                    ).tobytes()
                 pos = 0
-                for ln in kernels.split_lengths(r, data):
-                    h = hashlib.sha256(data[pos : pos + ln]).digest() if digest else b""
+                for i, ln in enumerate(lengths):
+                    if digest == "poly128":
+                        h = packed[16 * i:16 * i + 16]
+                    elif digest:
+                        h = hashlib.sha256(data[pos:pos + ln]).digest()
+                    else:
+                        h = b""
                     out["clip_id"].append(cid)
                     out["range_idx"].append(int(ridx))
                     out["start"].append(int(start))
@@ -181,39 +197,59 @@ def _agreed_seams(cand: DataFrame, max_size: int, range_bytes: int) -> DataFrame
     )
 
 
-def chunk_files_ranged(
-    spark: SparkSession,
-    files: DataFrame,
-    algorithm: str,
-    opts: ChunkerOpts | None = None,
-    range_bytes: int = 32 << 20,
-    overlap: int | None = None,
-    on_stitch_failure: str = "fallback",
+def spill_clips_to_files(
+    clips: DataFrame,
+    out_dir: str,
+    data_col: str = "bytes",
+    id_col: str = "clip_id",
 ) -> DataFrame:
-    """files(clip_id=path, size) -> the standard chunks relation
-    (clip_id, algo, chunk_idx, offset, length, chunk_hash), byte-identical
-    to whole-buffer chunking, with per-task memory bounded by
-    range_bytes + overlap.
+    """clips -> manifest(clip_id, path, size): each clip's payload written
+    to `out_dir/<sha256(clip_id)>.bin` so the ranged chunker can seek-read
+    it. Sandbox adapter for plans/pipeline.py's max_cell_bytes routing: on
+    a real deployment the oversized tail's bytes already live in object
+    storage (the clips relation carries a pointer, not the payload) and
+    this stage is a projection. Deterministic names -> idempotent rewrite
+    on stage resume; one file write per oversized clip, distributed."""
+    os.makedirs(out_dir, exist_ok=True)
 
-    overlap defaults to 8x MaxSize: the agreement window is
-    overlap - MaxSize wide (~7 chunk lengths of resync slack; cold Gear
-    scans resynchronize within 1-2 chunks on non-degenerate content).
-    on_stitch_failure: "fallback" re-chunks non-resyncing files whole;
-    "keep_markers" emits a (chunk_idx=-1) marker row per failed file for
-    the caller to route."""
-    r = resolve(algorithm, opts)
-    O = int(overlap) if overlap is not None else 8 * r.max_size
-    R = int(range_bytes)
-    if O < 2 * r.max_size:
-        raise ValueError(f"overlap {O} must be >= 2*MaxSize ({2 * r.max_size})")
-    if O > R:
-        raise ValueError(f"overlap {O} must be <= range_bytes {R} (seam locality)")
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, sizes = [], [], []
+            for cid, raw in zip(pdf[id_col], pdf[data_col]):
+                if raw is None:
+                    continue
+                p = os.path.join(
+                    out_dir, hashlib.sha256(str(cid).encode()).hexdigest() + ".bin")
+                with open(p, "wb") as f:
+                    f.write(bytes(raw))
+                ids.append(cid)
+                paths.append(p)
+                sizes.append(len(raw))
+            yield pd.DataFrame({"clip_id": ids, "path": paths, "size": sizes})
+
+    return clips.select(id_col, data_col).mapInPandas(
+        gen, "clip_id string, path string, size long")
+
+
+def stitch_candidates(
+    cand: DataFrame,
+    files: DataFrame,
+    r: ResolvedOpts,
+    range_bytes: int,
+    on_stitch_failure: str = "fallback",
+    digest: bool | str = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(chunks, failed_files): the seam-agreement stitch over a candidate
+    relation (chunk_ranges output, ideally MATERIALIZED -- the plan
+    references it for seams, keep-windows, and failure detection; a parquet
+    stage boundary avoids re-running the range UDF per reference).
+    `failed_files` is the telemetry relation -- one (clip_id) row per file
+    whose cold scans never resynchronized (in "fallback" mode those files'
+    chunks in `chunks` come from a whole-buffer re-read; in "keep_markers"
+    mode they surface as chunk_idx=-1 marker rows instead)."""
     if on_stitch_failure not in ("fallback", "keep_markers"):
         raise ValueError(f"unknown on_stitch_failure {on_stitch_failure!r}")
-
-    ranges = plan_ranges(files, R, O)
-    cand = chunk_ranges(ranges, r)
-    seams = _agreed_seams(cand, r.max_size, R)
+    seams = _agreed_seams(cand, r.max_size, range_bytes)
 
     # Per-range keep-window: [lo, hi) over chunk *start* offsets, where lo =
     # the seam agreed with the previous range (0 for the first) and hi = the
@@ -261,7 +297,7 @@ def chunk_files_ranged(
             F.lit(0).cast("int").alias("length"),
             F.lit(b"").alias("chunk_hash"),
         )
-        return stitched.unionByName(markers)
+        return stitched.unionByName(markers), failed
 
     # Whole-file fallback: a single range covering the file is a cold scan
     # from the TRUE stream start, i.e. exact whole-buffer chunking (memory
@@ -274,10 +310,48 @@ def chunk_files_ranged(
             F.col("size").alias("read_len"),
         )
     )
-    rescued = chunk_ranges(whole, r).select(
+    rescued = chunk_ranges(whole, r, digest=digest).select(
         "clip_id",
         F.lit(r.algorithm).alias("algo"),
         F.col("range_idx").cast("int").alias("chunk_idx"),  # placeholder
         "offset", "length", "chunk_hash",
     ).withColumn("chunk_idx", (F.row_number().over(w) - 1).cast("int"))
-    return stitched.unionByName(rescued)
+    return stitched.unionByName(rescued), failed
+
+
+def chunk_files_ranged(
+    spark: SparkSession,
+    files: DataFrame,
+    algorithm: str,
+    opts: ChunkerOpts | None = None,
+    range_bytes: int = 32 << 20,
+    overlap: int | None = None,
+    on_stitch_failure: str = "fallback",
+    digest: bool | str = True,
+) -> DataFrame:
+    """files(clip_id=path, size) -> the standard chunks relation
+    (clip_id, algo, chunk_idx, offset, length, chunk_hash), byte-identical
+    to whole-buffer chunking, with per-task memory bounded by
+    range_bytes + overlap.
+
+    overlap defaults to 8x MaxSize: the agreement window is
+    overlap - MaxSize wide (~7 chunk lengths of resync slack; cold Gear
+    scans resynchronize within 1-2 chunks on non-degenerate content).
+    on_stitch_failure: "fallback" re-chunks non-resyncing files whole;
+    "keep_markers" emits a (chunk_idx=-1) marker row per failed file for
+    the caller to route. Callers that also want the failed-file telemetry
+    relation (or that materialize the candidate stage, as
+    plans/pipeline.py does) compose plan_ranges -> chunk_ranges ->
+    stitch_candidates directly."""
+    r = resolve(algorithm, opts)
+    O = int(overlap) if overlap is not None else 8 * r.max_size
+    R = int(range_bytes)
+    if O < 2 * r.max_size:
+        raise ValueError(f"overlap {O} must be >= 2*MaxSize ({2 * r.max_size})")
+    if O > R:
+        raise ValueError(f"overlap {O} must be <= range_bytes {R} (seam locality)")
+
+    cand = chunk_ranges(plan_ranges(files, R, O), r, digest=digest)
+    chunks, _failed = stitch_candidates(
+        cand, files, r, R, on_stitch_failure=on_stitch_failure, digest=digest)
+    return chunks

@@ -58,6 +58,7 @@ DEFAULT_BUCKETS = 64  # sandbox-sized; ~4-8 MB target bucket files. At the
 # 10^14-row scale SCALE.md sizes, this is O(10^5) buckets (store_TB / 0.5 GB).
 
 _META_FILE = "_store_meta.json"
+_BAND_DF_DIR = "_band_df"  # compaction-maintained band document frequencies
 
 
 def _canon_cols(df: DataFrame) -> list[list[str]]:
@@ -115,6 +116,13 @@ def _bucketed_write(df: DataFrame, table: str, path: str,
     if not appending:  # keep the original write's DDL; overwrite clears path
         with open(mp, "w") as f:
             json.dump(meta, f)
+    elif os.path.isdir(os.path.join(path, _BAND_DF_DIR)):
+        # an append changes the store's band frequencies: a stale df
+        # sidecar would under-count (and under-prune) until the next
+        # compaction regenerates it -- drop it rather than serve it wrong
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(path, _BAND_DF_DIR))
 
 
 def read_store_meta(path: str) -> dict:
@@ -332,6 +340,21 @@ def compact_store(
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     _bucketed_write(df, tmp_table, tmp, meta["bucket_cols"], nb, "overwrite")
     rows = spark.table(tmp_table).count()  # materialized BEFORE the swap
+    if meta["bucket_cols"] == ["band_hash"]:
+        # band-store df maintenance: persist the (band_id, band_hash) ->
+        # distinct-clip frequency relation beside the compacted data, so
+        # probes prune stop-bands from a tiny scan instead of re-running
+        # the store-wide aggregate per probe (near_dup_candidates_vs_store
+        # store_df arg / read_band_df). Written inside the tmp dir -> swaps
+        # atomically with the data it describes. The groupBy is keyed on
+        # the bucketing column, so it reuses the fresh write's partitioning.
+        (
+            spark.table(tmp_table)
+            .groupBy("band_id", "band_hash")
+            .agg(F.count_distinct("clip_id").cast("long").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, _BAND_DF_DIR))
+        )
 
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -368,32 +391,53 @@ def write_band_store(
     mode: str = "overwrite",
 ) -> None:
     """Persist lsh_bands() output (clip_id, band_id, band_hash) bucketed by
-    band_hash. The df side-relation is recomputed per probe from the store
-    scan's own aggregation when small, or maintained incrementally by the
-    compaction job at scale (documented, not automated here)."""
+    band_hash. The df side-relation is MAINTAINED BY COMPACTION:
+    compact_store writes it to the _band_df sidecar (read_band_df), appends
+    invalidate it, and probes pass it as near_dup_candidates_vs_store's
+    store_df so no store-wide aggregate runs per probe. An uncompacted
+    store falls back to recomputing frequencies from its (bucketed,
+    exchange-free) scan."""
     _bucketed_write(bands, table, path, ["band_hash"], n_buckets, mode)
+
+
+def read_band_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """The compaction-persisted band document-frequency relation
+    (band_id, band_hash, df) of a band store, or None if the store has not
+    been compacted since its last append (compact_store writes it;
+    appends invalidate it). Pass it to near_dup_candidates_vs_store's
+    store_df so probes never re-aggregate the store."""
+    p = os.path.join(path, _BAND_DF_DIR)
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        return None
+    return spark.read.parquet(p)
 
 
 def near_dup_candidates_vs_store(
     new_bands: DataFrame,
     store_bands: DataFrame,
     max_df: int = 64,
+    store_df: DataFrame | None = None,
 ) -> DataFrame:
     """(new_clip, store_clip) candidate pairs: equi-join on (band_id,
     band_hash) after dropping stop-bands (bands matching > max_df store
     clips -- boilerplate: silence, constant tones). The stop-band relation
     is tiny (only over-threshold keys) and broadcast into an anti-join, so
-    neither side shuffles for the prune; the store-side groupBy IS a store
-    aggregation, but a map-side-combinable one keyed by the bucketing
-    column, so it reuses the store's on-disk partitioning (no Exchange) --
-    and at scale it's the compaction job's output, not a per-probe cost."""
+    neither side shuffles for the prune.
+
+    store_df: the persisted frequency relation (read_band_df) -- the
+    production path: stop-bands come from a tiny sidecar scan maintained
+    by compact_store, with NO store-wide aggregate in the probe plan.
+    Without it the probe recomputes frequencies from the store scan -- a
+    map-side-combinable groupBy keyed on the bucketing column (no
+    Exchange), acceptable per-probe only while the store is small."""
     key = ["band_id", "band_hash"]
-    hot = (
-        store_bands.groupBy(*key)
-        .agg(F.count_distinct("clip_id").alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select(*key)
+    freq_src = (
+        store_df.select(*key, F.col("df").alias("_df"))
+        if store_df is not None
+        else store_bands.groupBy(*key).agg(
+            F.count_distinct("clip_id").alias("_df"))
     )
+    hot = freq_src.filter(F.col("_df") > max_df).select(*key)
     s = store_bands.join(F.broadcast(hot), key, "left_anti").select(
         *key, F.col("clip_id").alias("store_clip")
     )

@@ -253,6 +253,28 @@ def ivf_assign(
     )
 
 
+def train_sample(
+    embeddings: DataFrame,
+    train_fraction: float | None,
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic hash-sample of training rows: keep ids whose
+    xxhash64(id, seed) lands in the lowest `train_fraction` of the modulus
+    space. Reproducible across runs and engines (no Sample node, no
+    partition-order dependence), uniform for any id distribution because
+    the hash output is. None / >= 1.0 = full corpus."""
+    if train_fraction is None or train_fraction >= 1.0:
+        return embeddings
+    if not 0.0 < train_fraction:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    bound = int(round(train_fraction * 1_000_000))
+    return embeddings.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed) + 7919)),
+               F.lit(1_000_000)) < bound
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -260,6 +282,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """(centroid_id, centroid array<double>) coarse quantizer. Seeds are a
     deterministic pseudo-random sample: the n_centroids globally-smallest
@@ -269,7 +292,13 @@ def ivf_centroids(
     single-partition sort of the full table (the round-2 scale-killer; plan
     shape pinned in tests/test_plan_shapes.py). `iters` Lloyd steps refine
     the seeds with cluster means computed from scaled-integer sums
-    (order-free, bit-deterministic)."""
+    (order-free, bit-deterministic).
+
+    train_fraction: train (seed + Lloyd) on a deterministic hash-sample
+    (train_sample) instead of the corpus -- the scale shape: k-means
+    quality needs ~O(100x n_centroids) rows, not 10^12; searches still
+    assign/score the FULL corpus against the returned centroids."""
+    embeddings = train_sample(embeddings, train_fraction, id_col, seed)
     seeds = (
         embeddings.select(
             F.col(id_col).alias("_id"),
@@ -388,17 +417,21 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """(sub_id, code, centroid array<double>): one deterministic k-means
     (the ivf_centroids machinery, seeded per subspace) over each subspace's
-    sliced subvectors. Training reads the corpus m times -- at scale, train
-    on a TABLESAMPLE instead of the full table (sampling only affects the
-    codebooks, not correctness of encode/score)."""
+    sliced subvectors. train_fraction bounds the m training reads to a
+    deterministic hash-sample (train_sample; one sample shared by all m
+    subspaces, so every codebook sees the same training rows) -- sampling
+    only affects the codebooks, never the correctness of encode/score,
+    which always run over the full corpus."""
     if dim is None:
         dim = embeddings.select(F.size(vec_col)).first()[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    embeddings = train_sample(embeddings, train_fraction, id_col, seed=11)
     out = None
     for s in range(m):
         sub = embeddings.select(

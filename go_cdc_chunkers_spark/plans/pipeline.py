@@ -78,6 +78,20 @@ class PipelineConfig:
     # (tools/profile_kernels.py) and rare collisions only perturb an
     # already-approximate estimator.
     digest_kind: str = "sha256"
+    # Oversized-clip routing: clips whose payload exceeds max_cell_bytes
+    # never travel through the Arrow chunking UDF as one cell (a multi-GB
+    # clip would concentrate one task's memory and breach Arrow's 2 GB
+    # cell limit long before that). They detour through the bounded-memory
+    # ranged chunker (operators/bigfile.py): spill-to-files manifest ->
+    # range-split candidate scan (materialized as its own stage, so the
+    # stitch's several references to it never re-run the UDF) -> seam
+    # stitch -> union with the small tail's chunks. Byte-identical chunks
+    # either way (the bigfile stitch guarantee), so every downstream stage
+    # is unaffected. None = off (every clip fits a cell, the sandbox
+    # default); at 10^12-clip scale set it to the executor task budget
+    # (e.g. 256 MB) and the big tail becomes independent range tasks.
+    # Requires max_cell_bytes >= 2x chunk max_size (seam locality).
+    max_cell_bytes: int | None = None
     # Canonical-first: collapse byte-identical clips to one canonical
     # (min clip_id per sha256(bytes)) BEFORE chunking, run every expensive
     # stage on distinct content only, and expand components back at the
@@ -191,6 +205,64 @@ class Pipeline:
         canon = h.groupBy("_h").agg(F.min("clip_id").alias("canonical_id"))
         return h.join(canon, "_h").select("clip_id", "canonical_id")
 
+    def _chunks_stage(self, clips: DataFrame) -> DataFrame:
+        """The chunks_pcm stage, with oversized clips routed through the
+        bounded-memory ranged chunker when cfg.max_cell_bytes is set (see
+        the config field's doc). Emits a `bigfile_stitch` lineage row with
+        the routed/fallback file counts -- stitch-failure fallback is a
+        memory-bound escape hatch and must be observable, never silent."""
+        cfg = self.cfg
+        if cfg.max_cell_bytes is None:
+            return self.stage(
+                "chunks_pcm",
+                lambda: chunking.chunk_clips(
+                    clips, cfg.algorithm, cfg.chunk_opts, digest=cfg.digest_kind),
+            )
+
+        from ..cdc.opts import resolve
+        from ..operators import bigfile
+
+        r = resolve(cfg.algorithm, cfg.chunk_opts)
+        R = int(cfg.max_cell_bytes)
+        if R < 2 * r.max_size:
+            raise ValueError(
+                f"max_cell_bytes {R} must be >= 2x chunk max_size "
+                f"({2 * r.max_size}): below that no stitchable overlap fits")
+        O = min(8 * r.max_size, R)
+        cell_fits = F.coalesce(F.length("bytes"), F.lit(0)) <= R
+
+        manifest = self.stage(
+            "bigfile_manifest",
+            lambda: bigfile.spill_clips_to_files(
+                clips.filter(~cell_fits),
+                os.path.join(self.workdir, "bigfile_payloads")),
+        )
+        files = manifest.select(F.col("path").alias("clip_id"), "size")
+        cand = self.stage(
+            "bigfile_cand",
+            lambda: bigfile.chunk_ranges(
+                bigfile.plan_ranges(files, R, O), r, digest=cfg.digest_kind),
+        )
+
+        def build():
+            small = chunking.chunk_clips(
+                clips.filter(cell_fits), cfg.algorithm, cfg.chunk_opts,
+                digest=cfg.digest_kind)
+            stitched, failed = bigfile.stitch_candidates(
+                cand, files, r, R, digest=cfg.digest_kind)
+            started = time.time()
+            n_big, n_fail = manifest.count(), failed.count()
+            self._lineage("bigfile_stitch", n_big, started, 0,
+                          {"bigfile_fallback_files": int(n_fail)})
+            back = manifest.select(F.col("path").alias("clip_id"),
+                                   F.col("clip_id").alias("_orig"))
+            big = stitched.join(back, "clip_id").select(
+                F.col("_orig").alias("clip_id"), "algo", "chunk_idx",
+                "offset", "length", "chunk_hash")
+            return small.unionByName(big)
+
+        return self.stage("chunks_pcm", build)
+
     def run(self, clips: DataFrame) -> DataFrame:
         cfg = self.cfg
 
@@ -211,11 +283,7 @@ class Pipeline:
             clips = clips.join(canon, "clip_id", "left_semi").cache()
             clips.count()
 
-        chunks = self.stage(
-            "chunks_pcm",
-            lambda: chunking.chunk_clips(
-                clips, cfg.algorithm, cfg.chunk_opts, digest=cfg.digest_kind),
-        )
+        chunks = self._chunks_stage(clips)
         sig_pcm = self.stage(
             "sig_pcm", lambda: signatures.minhash_signatures(chunks, k=cfg.k)
         )

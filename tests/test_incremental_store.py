@@ -318,3 +318,49 @@ def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_b
            .agg(F.count_distinct("clip_id").alias("_df"))
            .filter(F.col("_df") > 10))
     assert plan(hot).count("Exchange") == 0
+
+
+def test_band_store_df_maintained_by_compaction(spark, tmp_path_factory,
+                                                no_broadcast):
+    """compact_store persists the band document-frequency sidecar for band
+    stores; probes passing it (store_df) carry NO store-wide aggregate in
+    their plan (the persisted _band_df scan replaces the groupBy), yield
+    identical candidates, and an append invalidates the stale sidecar."""
+    store_rows = [("A", 0, 111), ("B", 0, 222), ("C", 2, 333)]
+    store_rows += [(f"junk{i}", 1, 999) for i in range(100)]
+    new_rows = [("X", 0, 111), ("X", 1, 123), ("Y", 1, 999)]
+    schema = "clip_id string, band_id int, band_hash long"
+    path = str(tmp_path_factory.mktemp("bands") / "band_store_df")
+    incremental.write_band_store(
+        spark.createDataFrame(store_rows, schema), "t_band_df", path,
+        n_buckets=8)
+
+    assert incremental.read_band_df(spark, path) is None  # pre-compaction
+    incremental.compact_store(spark, "t_band_df", path)
+    bdf = incremental.read_band_df(spark, path)
+    assert bdf is not None
+    assert ({(r.band_id, r.band_hash, r.df) for r in
+             bdf.filter(F.col("df") > 10).collect()} == {(1, 999, 100)})
+
+    store = spark.table("t_band_df")
+    new = spark.createDataFrame(new_rows, schema)
+    with_df = incremental.near_dup_candidates_vs_store(
+        new, store, max_df=10, store_df=bdf)
+    recompute = incremental.near_dup_candidates_vs_store(new, store, max_df=10)
+    got = {(r["new_clip"], r["store_clip"]) for r in with_df.collect()}
+    assert got == {(r["new_clip"], r["store_clip"])
+                   for r in recompute.collect()} == {("X", "A")}
+
+    # plan shape: the probe reads the persisted relation (a _band_df file
+    # scan appears) and runs no frequency aggregate over the store -- the
+    # only count_distinct in the with_df plan is gone
+    p_with, p_without = plan(with_df), plan(recompute)
+    assert "_band_df" in p_with
+    assert "count(distinct" not in p_with.lower()
+    assert "count(distinct" in p_without.lower()
+
+    # appends change frequencies -> the sidecar must not survive them
+    incremental.write_band_store(
+        spark.createDataFrame([("Z", 3, 444)], schema), "t_band_df", path,
+        n_buckets=8, mode="append")
+    assert incremental.read_band_df(spark, path) is None

@@ -431,6 +431,35 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     assert len(sizes) >= 4  # quantizer actually partitions the space
 
 
+def test_train_sample_deterministic_and_bounded(spark):
+    """train_fraction: training input is a deterministic hash-sample --
+    same rows on every run, sized ~fraction, shared across PQ subspaces
+    (codebooks differ from full-corpus training but encode/score still
+    cover everything)."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>")
+
+    s1 = {r.vec_id for r in similarity.train_sample(df, 0.25).collect()}
+    s2 = {r.vec_id for r in similarity.train_sample(df, 0.25).collect()}
+    assert s1 == s2  # deterministic
+    assert 0.15 * 400 <= len(s1) <= 0.35 * 400, len(s1)  # ~fraction
+    assert similarity.train_sample(df, None) is df
+    assert similarity.train_sample(df, 1.0) is df
+    with pytest.raises(ValueError):
+        similarity.train_sample(df, 0.0)
+
+    # sampled training changes only codebooks; encode still covers the
+    # full corpus (one (vec, sub) row per vector per subspace)
+    cb = similarity.pq_codebooks(df, m=4, ks=4, iters=1, dim=16,
+                                 train_fraction=0.25)
+    codes = similarity.pq_encode(df, cb, m=4, dsub=4)
+    assert codes.count() == 400 * 4
+    assert codes.select("vec_id").distinct().count() == 400
+
+
 def test_pq_topk_refined_recall_and_determinism(spark):
     """PQ ADC + exact re-rank: recall 1.0 at refine=8k on the clustered
     fixture (bare ADC ties within-cluster codes -- that's the documented
