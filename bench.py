@@ -33,7 +33,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Evidence modes (beyond the default one-line bench): --scaling (N vs 4N
 efficiency), --skew (candidate-stage hot-bucket growth), --store
 (bucketed-store probe shuffle volumes, see store_evidence()),
---pipeline-scale (volume amortization).
+--pipeline-scale (volume amortization), --bigfile (GB-scale ranged
+chunking vs whole-buffer, stitch overhead + identity), --ab-pipeline
+(interleaved fresh-JVM neardup_pipeline vs the round-3 snapshot),
+--rss (peak process-tree RSS per pipeline mode), --exact-first
+(canonical-first per-stage savings).
 """
 
 from __future__ import annotations
@@ -968,6 +972,17 @@ def main():
 
     timings, extras = one_session(cpus, sf_dir, n_base, 1, "bench")
     total = round(sum(timings.values()), 3)
+    # attach the committed heavy-evidence artifact (BENCH_EVIDENCE.json:
+    # the --ab-pipeline / --bigfile / --rss / --store results recorded by
+    # their own runs, each stamped with the git commit that produced it).
+    # These runs cost many fresh JVMs and are re-recorded when the code
+    # they measure changes, not re-run on every bench invocation -- the
+    # stamp keeps the provenance honest.
+    ev_path = os.path.join(ROOT, "BENCH_EVIDENCE.json")
+    evidence = {}
+    if os.path.exists(ev_path):
+        with open(ev_path) as f:
+            evidence = {"evidence_artifacts": json.load(f)}
     print(json.dumps({
         "metric": "engine_bench_total",
         "value": total,
@@ -975,6 +990,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
+        **evidence,
     }))
 
 

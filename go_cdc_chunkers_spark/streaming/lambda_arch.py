@@ -237,12 +237,15 @@ def cluster_store_incremental(
     everything accumulated -- O(corpus) per scheduled run. Here the
     new-side inputs are read with batch-partition PRUNING (only delta
     directories are scanned), only band buckets TOUCHED by a new clip are
-    re-opened, pairs must involve at least one new clip, and the final CC
-    runs on the contracted graph via components.merge_components. The one
-    remaining corpus-proportional step is the single pass that intersects
-    the store's bands with the touched-bucket keys (a projection + one
-    semi-join; the persisted bucketed band store of
-    operators/incremental.py is the shuffle-free production analogue).
+    re-opened, pairs must involve at least one new clip, the spectral
+    channel (if on) joins only landmark hashes the delta clips carry
+    (audio_fp.fingerprint_pairs scope_clip_ids), and the final CC runs on
+    the contracted graph via components.merge_components. The remaining
+    corpus-proportional steps are scans/count-aggregates, never joins: the
+    single pass intersecting the store's bands with the touched-bucket
+    keys (a projection + one semi-join; the persisted bucketed band store
+    of operators/incremental.py is the shuffle-free production analogue)
+    and the spectral matcher's per-clip/per-hash count normalizers.
 
     Label semantics vs a full re-run: identical whenever no touched bucket
     is star-capped (test_lambda_incremental_cluster_matches_full pins
