@@ -1633,6 +1633,59 @@ ORDER BY a, b
 """
 
 
+def audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA-BOUNDED spectral matcher (streaming/lambda_arch.py's
+    incremental channel): treat the chord fixture's variant clips with
+    ids >= 52 (the last 12 of 24 variants) as the newly-ingested delta and run
+    fingerprint_pairs(scope_clip_ids=delta) -- the hash equi-join's input
+    is restricted to landmarks the delta clips carry
+    (audio_fp.scoped_fingerprints). The ORACLE is method-independent: it
+    replays the FULL O(all-pairs) matcher relationally and filters its
+    output to delta-involving pairs, so a value-hash match certifies that
+    the scoped join loses nothing for pairs involving a delta clip
+    (scores and match fractions included -- the n_fp denominators stay
+    corpus-wide)."""
+    from .operators import audio_fp
+
+    rows, _truth, _kinds = clips_src.generate_chord_clips()
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"])) for r in rows],
+        schema="clip_id string, bytes binary",
+    )
+    mat = _materialize(spark, audio_fp.spectral_fingerprints(df),
+                       "audio_fp_inc")
+    # delta = the LAST 12 variants (ids >= 52): a strict subset, so the
+    # scope filter demonstrably removes the other variants' pairs
+    scope = df.select("clip_id").filter(
+        F.substring("clip_id", 7, 8).cast("long") >= 52)
+    return (audio_fp.fingerprint_pairs(mat, scope_clip_ids=scope)
+            .orderBy("a", "b"))
+
+
+AUDIO_FP_INC_SQL = f"""
+WITH raw AS (SELECT * FROM {_mat('audio_fp_inc')}),
+fp AS (SELECT clip_id, hash, min(t) AS t FROM raw GROUP BY clip_id, hash),
+keep AS (SELECT hash FROM (SELECT hash, count(DISTINCT clip_id) AS d
+                           FROM fp GROUP BY hash) WHERE d <= 32),
+p AS (SELECT * FROM fp WHERE hash IN (SELECT hash FROM keep)),
+sz AS (SELECT clip_id, count(*)::BIGINT AS n_fp FROM p GROUP BY clip_id),
+po AS (SELECT x.clip_id AS a, y.clip_id AS b, x.t - y.t AS off,
+              count(*)::BIGINT AS c
+       FROM p x JOIN p y USING (hash) WHERE x.clip_id < y.clip_id
+       GROUP BY x.clip_id, y.clip_id, x.t - y.t),
+best AS (SELECT a, b, max(c)::BIGINT AS aligned_matches FROM po GROUP BY a, b)
+SELECT best.a, best.b, aligned_matches,
+       aligned_matches / least(sa.n_fp, sb.n_fp) AS match_frac
+FROM best JOIN sz sa ON sa.clip_id = best.a
+          JOIN sz sb ON sb.clip_id = best.b
+WHERE aligned_matches >= 8
+  AND aligned_matches / least(sa.n_fp, sb.n_fp) >= 0.25
+  AND (CAST(substr(best.a, 7) AS BIGINT) >= 52
+       OR CAST(substr(best.b, 7) AS BIGINT) >= 52)
+ORDER BY a, b
+"""
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the memory-compression path,
     operators/similarity.py): 64-dim embeddings -> 4 subspaces x 8-code
@@ -1916,6 +1969,7 @@ QUERIES = {
     "audio_frame_energy": audio_frame_energy,
     "audio_silence_trim": audio_silence_trim,
     "audio_fp_neardup": audio_fp_neardup,
+    "audio_fp_incremental": audio_fp_incremental,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
     "doc_length_stats": doc_length_stats,
@@ -1968,6 +2022,7 @@ ORACLES = {
     "audio_frame_energy": AUDIO_FRAME_SQL,
     "audio_silence_trim": AUDIO_SILENCE_SQL,
     "audio_fp_neardup": AUDIO_FP_SQL,
+    "audio_fp_incremental": AUDIO_FP_INC_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,

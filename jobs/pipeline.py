@@ -46,6 +46,10 @@ def main() -> int:
                     help="collapse byte-identical clips before the expensive "
                          "stages; identical components, dup fraction skipped "
                          "(PipelineConfig.exact_first)")
+    ap.add_argument("--max-cell-bytes", type=int, default=None,
+                    help="route clips larger than this through the bounded-"
+                         "memory ranged chunker (PipelineConfig."
+                         "max_cell_bytes; chunks byte-identical either way)")
     args = ap.parse_args()
 
     from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
@@ -70,7 +74,8 @@ def main() -> int:
         return 2
 
     cfg = PipelineConfig(algorithm=args.algorithm, use_audio_fp=args.audio_fp,
-                         digest_kind=args.digest, exact_first=args.exact_first)
+                         digest_kind=args.digest, exact_first=args.exact_first,
+                         max_cell_bytes=args.max_cell_bytes)
     t0 = time.time()
     pipe = Pipeline(spark, args.workdir, cfg)
     comps = pipe.run(clips)
