@@ -73,6 +73,25 @@ def main() -> None:
          "batch being shuffled into the store's bucketing. Probe shuffle is "
          "O(batch); measured volumes in BASELINE.md (bench.py --store).",
          None),  # filled below (needs a bucketed table on disk)
+        ("audio_fp DELTA-bounded matching (scope_clip_ids)",
+         "The incremental spectral channel: both join sides are left_semi-"
+         "pruned to hashes the delta clips carry (scoped_fingerprints) "
+         "before the hash equi-join -- join input is bounded by the "
+         "delta's hash set; the only full-relation nodes are the two "
+         "count-only aggregates (per-clip n_fp, per-hash df).",
+         None),  # filled below (shares the materialized fingerprints)
+        ("simhash hot-bucket pairs (windowed hub selection)",
+         "Hot buckets (> pair_cap members) pick n_hubs min-id hubs via a "
+         "row_number Window over the big subset (sort-based, spills; no "
+         "ObjectHashAggregate / collect_list buffering whole buckets), "
+         "then broadcast the tiny hub relation back onto members.",
+         None),  # filled below
+        ("band-store probe with compaction-maintained df sidecar",
+         "near_dup_candidates_vs_store(store_df=read_band_df(...)): the "
+         "stop-band relation comes from the tiny persisted _band_df scan "
+         "-- NO store-wide aggregate in the probe plan; the store-side "
+         "FileScan stays bucketed/shuffle-free.",
+         None),  # filled below
         ("oracle query: tpch_q1_pricing",
          "Filter + project pushed to parquet scan (PushedFilters/ReadSchema); "
          "one Exchange for the groupBy.",
@@ -112,7 +131,38 @@ def main() -> None:
     plan_of(probe)  # materialize (and cache) the plan under no-broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
-    filled = iter([fp_pairs, probe])  # Nones in section-list order
+    # delta-bounded spectral matching over the same materialized fingerprints
+    scope = spark.createDataFrame([(rows[0]["clip_id"],)], "clip_id string")
+    fp_scoped = audio_fp.fingerprint_pairs(
+        spark.read.parquet(fp_dir), scope_clip_ids=scope)
+
+    # simhash hot-bucket pairs: big buckets exercise the windowed hub path
+    from go_cdc_chunkers_spark.operators import dedup_text
+
+    docs = spark.createDataFrame(
+        [(i, "spam ham eggs " * 8) for i in range(200)]
+        + [(1000 + j, f"doc {j} words {j * 7}") for j in range(4)],
+        "doc_id long, text string")
+    sim_pairs = dedup_text.simhash_pairs_from_pieces(
+        dedup_text.simhash_pieces(docs, text_col="text", id_col="doc_id"),
+        max_hamming=16, pair_cap=64)
+
+    # band-store probe with the compaction-persisted df sidecar
+    bands_small = bands.limit(2000).select(
+        F.col("clip_id"), F.col("band_id"), F.col("band_hash"))
+    bd_dir = os.path.join(st_dir, "bands")
+    incremental.write_band_store(bands_small, "plans_band_store", bd_dir,
+                                 n_buckets=8)
+    incremental.compact_store(spark, "plans_band_store", bd_dir)
+    band_df = incremental.read_band_df(spark, bd_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    band_probe = incremental.near_dup_candidates_vs_store(
+        bands_small.limit(200), spark.table("plans_band_store"),
+        max_df=16, store_df=band_df)
+    plan_of(band_probe)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    filled = iter([fp_pairs, probe, fp_scoped, sim_pairs, band_probe])
     sections = [
         (t, n, next(filled) if d is None else d) for t, n, d in sections
     ]
