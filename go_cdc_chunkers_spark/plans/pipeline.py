@@ -91,6 +91,10 @@ class PipelineConfig:
     # default); at 10^12-clip scale set it to the executor task budget
     # (e.g. 256 MB) and the big tail becomes independent range tasks.
     # Requires max_cell_bytes >= 2x chunk max_size (seam locality).
+    # Batch-pipeline only: the streaming sink (streaming/lambda_arch.py)
+    # chunks micro-batches whole-cell -- a stream carrying clips beyond
+    # the cell budget should land them as files and ingest via the batch
+    # layer (jobs/cdc.py --ranged covers the standalone case).
     max_cell_bytes: int | None = None
     # Canonical-first: collapse byte-identical clips to one canonical
     # (min clip_id per sha256(bytes)) BEFORE chunking, run every expensive

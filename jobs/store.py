@@ -58,8 +58,22 @@ def _effective_chunking(args) -> dict:
     return eff
 
 
-def _chunks(spark, args, chunking_cfg: dict):
+def _opts_of(chunking_cfg: dict):
+    """ChunkerOpts from the effective chunking dict. ANY size flag builds
+    opts (fields left None resolve to the algorithm's defaults in
+    cdc/opts.resolve); gating on normal_size alone would silently ignore
+    --min-size/--max-size while _chunking.json still records them as the
+    store's hash-defining parameters."""
     from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+
+    c = chunking_cfg
+    if not any(c[k] is not None for k in ("min_size", "normal_size", "max_size")):
+        return None
+    return ChunkerOpts(min_size=c["min_size"], normal_size=c["normal_size"],
+                       max_size=c["max_size"])
+
+
+def _chunks(spark, args, chunking_cfg: dict):
     from go_cdc_chunkers_spark.operators.chunking import chunk_clips
 
     if args.format == "parquet":
@@ -69,16 +83,8 @@ def _chunks(spark, args, chunking_cfg: dict):
 
         clips = clips_from_files(spark, args.path, glob=args.glob,
                                  codec=args.codec, sr_hz=args.sr_hz)
-    c = chunking_cfg
-    # any size flag builds opts (ChunkerOpts fields left None resolve to the
-    # algorithm's defaults in cdc/opts.resolve); gating on normal_size alone
-    # would silently ignore --min-size/--max-size while _chunking.json still
-    # records them as the store's hash-defining parameters
-    any_size = any(c[k] is not None for k in ("min_size", "normal_size", "max_size"))
-    opts = ChunkerOpts(min_size=c["min_size"], normal_size=c["normal_size"],
-                       max_size=c["max_size"]) if any_size else None
     # offset is part of the store schema; chunk_clips emits it
-    return chunk_clips(clips, c["algo"], opts)
+    return chunk_clips(clips, chunking_cfg["algo"], _opts_of(chunking_cfg))
 
 
 def main() -> int:

@@ -320,6 +320,29 @@ def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_b
     assert plan(hot).count("Exchange") == 0
 
 
+def test_store_cli_opts_built_from_any_size_flag():
+    """jobs/store.py: chunking opts must be built when ANY size flag is
+    given -- --min-size/--max-size without --normal-size previously fell
+    back to algorithm defaults while _chunking.json recorded the flags as
+    the store's hash-defining parameters (metadata lying about the cut)."""
+    import importlib
+
+    store_mod = importlib.import_module("jobs.store")
+    from go_cdc_chunkers_spark.cdc.opts import resolve
+
+    base = {"algo": "fastcdc-v1.0.0", "min_size": None, "normal_size": None,
+            "max_size": None}
+    assert store_mod._opts_of(base) is None  # no flags -> pure defaults
+
+    only_min = dict(base, min_size=1024)
+    opts = store_mod._opts_of(only_min)
+    assert opts is not None
+    r = resolve("fastcdc-v1.0.0", opts)
+    assert r.min_size == 1024  # the flag takes effect...
+    d = resolve("fastcdc-v1.0.0", None)
+    assert (r.normal_size, r.max_size) == (d.normal_size, d.max_size)  # ...rest default
+
+
 def test_band_store_df_maintained_by_compaction(spark, tmp_path_factory,
                                                 no_broadcast):
     """compact_store persists the band document-frequency sidecar for band
