@@ -1633,6 +1633,65 @@ ORDER BY a, b
 """
 
 
+def audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law decode (operators/codecs.py), engine-vs-engine: clips
+    are companded to mu-law driver-side (deterministic fixture), the byte
+    stream is materialized as (clip_id, idx, byte), Spark decodes the
+    BINARY payloads through the real multimodal decode path
+    (_decode_pcm_batch inside mapInPandas -- the production codec stage),
+    and the DuckDB oracle expands the SAME bytes with the ITU closed form
+    in pure SQL. A value-hash match certifies the numpy decoder against
+    an independent implementation of the standard, sample for sample."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import _decode_pcm_batch
+
+    rows, _ = clips_src.generate_clips(
+        n_base=4, dup_frac=0.0, near_frac=0.0, n_const=0, seed=99,
+        min_ms=150, max_ms=400)
+    enc = [(r["clip_id"],
+            codecs.mulaw_encode(np.frombuffer(r["bytes"], dtype="<i2")))
+           for r in rows]
+    byte_pdf = pd.concat([
+        pd.DataFrame({
+            "clip_id": cid,
+            "idx": np.arange(len(b), dtype=np.int64),
+            "byte": np.frombuffer(b, dtype=np.uint8).astype(np.int32),
+        }) for cid, b in enc
+    ])
+    _materialize(spark, spark.createDataFrame(byte_pdf), "mulaw_bytes")
+
+    clips = spark.createDataFrame(
+        [(cid, bytearray(b)) for cid, b in enc], "clip_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                pcm = _decode_pcm_batch(bytes(raw), "pcm_mulaw")
+                yield pd.DataFrame({
+                    "clip_id": cid,
+                    "idx": np.arange(len(pcm), dtype=np.int64),
+                    "sample": pcm.astype(np.int32),
+                })
+
+    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
+            .orderBy("clip_id", "idx"))
+
+
+AUDIO_MULAW_SQL = f"""
+WITH b AS (SELECT * FROM {_mat('mulaw_bytes')}),
+u AS (SELECT clip_id, idx, 255 - byte AS u FROM b),
+d AS (SELECT clip_id, idx, u & 128 AS sgn,
+             (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7))) - 132 AS mag
+      FROM u)
+SELECT clip_id, idx,
+       CAST(CASE WHEN sgn <> 0 THEN -mag ELSE mag END AS INT) AS sample
+FROM d ORDER BY clip_id, idx
+"""
+
+
 def audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DELTA-BOUNDED spectral matcher (streaming/lambda_arch.py's
     incremental channel): treat the chord fixture's variant clips with
@@ -1970,6 +2029,7 @@ QUERIES = {
     "audio_silence_trim": audio_silence_trim,
     "audio_fp_neardup": audio_fp_neardup,
     "audio_fp_incremental": audio_fp_incremental,
+    "audio_mulaw_decode": audio_mulaw_decode,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
     "doc_length_stats": doc_length_stats,
@@ -2023,6 +2083,7 @@ ORACLES = {
     "audio_silence_trim": AUDIO_SILENCE_SQL,
     "audio_fp_neardup": AUDIO_FP_SQL,
     "audio_fp_incremental": AUDIO_FP_INC_SQL,
+    "audio_mulaw_decode": AUDIO_MULAW_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,

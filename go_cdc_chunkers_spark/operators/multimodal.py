@@ -26,42 +26,67 @@ FRAME_FEATURES_SCHEMA = (
 
 
 def _decode_wav(raw: bytes) -> np.ndarray:
-    """Real RIFF/WAVE parser for uncompressed PCM s16le (no codec libs
-    needed): walks the chunk list, checks fmt (format tag 1, 16-bit),
-    returns the data payload as int16 samples."""
+    """Real RIFF/WAVE parser, no codec libs: walks the chunk list and
+    decodes format tag 1 (PCM s16le) directly, tags 6/7 (G.711 A-law /
+    mu-law) and 0x11 (IMA ADPCM, mono, fmt-declared block align) via the
+    closed-form decoders in operators/codecs.py."""
     if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt_ok, data = 12, False, None
+    pos, tag, data = 12, None, None
+    block_align = channels = 0
     while pos + 8 <= len(raw):
         cid = raw[pos:pos + 4]
         size = int.from_bytes(raw[pos + 4:pos + 8], "little")
         body = raw[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if tag != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"wav: only PCM s16le supported (tag={tag}, bits={bits})"
-                )
-            fmt_ok = True
+            if tag == 1 and bits != 16:
+                raise NotImplementedError(f"wav: PCM bits={bits} (s16le only)")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if not fmt_ok or data is None:
+    if tag is None or data is None:
         raise ValueError("wav: missing fmt/data chunk")
-    n = len(data) - (len(data) % 2)
-    return np.frombuffer(data[:n], dtype="<i2")
+    from . import codecs
+
+    if tag == 1:
+        n = len(data) - (len(data) % 2)
+        return np.frombuffer(data[:n], dtype="<i2")
+    if tag == 6:
+        return codecs.alaw_decode(data)
+    if tag == 7:
+        return codecs.mulaw_decode(data)
+    if tag == 0x11:
+        if channels not in (0, 1):
+            raise NotImplementedError("wav: IMA ADPCM decoded for mono only")
+        return codecs.ima_adpcm_decode(data, block_align or 256)
+    raise NotImplementedError(
+        f"wav: format tag {tag} not decodable here (PCM s16le, G.711 "
+        "A-law/mu-law, and mono IMA ADPCM are decoded for real)"
+    )
 
 
 def _decode_pcm_batch(raw: bytes, codec: str) -> np.ndarray:
+    from . import codecs
+
     if codec == "pcm_s16le":
         n = len(raw) - (len(raw) % 2)
         return np.frombuffer(raw[:n], dtype="<i2")
     if codec == "wav":
         return _decode_wav(raw)
+    if codec == "pcm_mulaw":
+        return codecs.mulaw_decode(raw)
+    if codec == "pcm_alaw":
+        return codecs.alaw_decode(raw)
+    if codec == "adpcm_ima":
+        return codecs.ima_adpcm_decode(raw)
     raise NotImplementedError(
-        f"codec {codec!r}: compressed-codec decoders are not available in "
-        "this image; pcm_s16le and RIFF/WAVE are decoded for real"
+        f"codec {codec!r}: not decodable without codec libraries; decoded "
+        "for real here: pcm_s16le, RIFF/WAVE (PCM/G.711/IMA-ADPCM), "
+        "pcm_mulaw, pcm_alaw, adpcm_ima"
     )
 
 
