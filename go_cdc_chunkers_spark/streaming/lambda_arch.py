@@ -28,6 +28,7 @@ bounds cluster staleness at its schedule interval.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,65 @@ def history_table_name(store_dir: str) -> str:
 
     h = hashlib.sha256(os.path.abspath(store_dir).encode()).hexdigest()[:12]
     return f"stream_chunk_history_{h}"
+
+
+def band_store_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "band_store")
+
+
+def band_store_table_name(store_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(store_dir).encode()).hexdigest()[:12]
+    return f"stream_band_store_{h}"
+
+
+def _band_store_step(spark: SparkSession, store_dir: str, batch_id: int,
+                     cfg, n_buckets: int) -> None:
+    """Maintain the BUCKETED band store on the stream: each micro-batch's
+    LSH bands (pcm + text) append to a band_hash-bucketed table
+    (operators/incremental.py layout), so the scheduled incremental
+    clustering reads the corpus's bands SHUFFLE-FREE instead of
+    re-banding the whole signature store per run (the one
+    corpus-proportional projection the docstring of
+    cluster_store_incremental used to carry).
+
+    Replay-safe via a batch registry sidecar (_appended_batches.json):
+    foreachBatch is at-least-once, and a bucketed table append is not
+    naturally idempotent (unlike the batch=<id> directory overwrites), so
+    an already-registered batch id is a no-op. The registry write happens
+    AFTER the append commits; a crash between the two replays the append,
+    which the registry check then prevents from doubling only if the
+    first append did not commit -- the same at-least-once-then-dedupe
+    contract the chunk history uses, here at batch granularity."""
+    from ..operators import incremental
+
+    path = band_store_path(store_dir)
+    reg = os.path.join(path, "_appended_batches.json")
+    done: list[int] = []
+    if os.path.exists(reg):
+        with open(reg) as f:
+            done = json.load(f)
+    if int(batch_id) in done:
+        return
+    # read the batch's signatures back from the directories this sink just
+    # landed (materialized -- no recompute of the minhash aggregates)
+    def sig_of(table: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(store_dir, table, f"batch={batch_id}"))
+
+    bands = signatures.lsh_bands(
+        sig_of("sig_pcm"), cfg.bands, cfg.rows_per_band, src="pcm"
+    ).unionByName(signatures.lsh_bands(
+        sig_of("sig_text"), cfg.bands, cfg.rows_per_band, src="text"))
+    table = band_store_table_name(store_dir)
+    first = not os.path.exists(os.path.join(path, "_store_meta.json"))
+    if not first and not spark.catalog.tableExists(table):
+        incremental.register_chunk_store(spark, table, path)
+    incremental.write_band_store(bands, table, path, n_buckets=n_buckets,
+                                 mode="overwrite" if first else "append")
+    with open(reg, "w") as f:
+        json.dump(done + [int(batch_id)], f)
 
 
 def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
@@ -104,11 +164,15 @@ def _history_dedup_step(chunks: DataFrame, store_dir: str, batch_id: int,
 
 def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None,
                         history_dedup: bool = False,
-                        history_buckets: int = 64):
+                        history_buckets: int = 64,
+                        band_store: bool = False,
+                        band_buckets: int = 64):
     """The foreachBatch body: per-clip stages -> idempotent store appends.
     history_dedup additionally probes/grows the bucketed chunk history
     (_history_dedup_step) so each micro-batch learns which of its content
-    the FULL ingest history has already seen."""
+    the FULL ingest history has already seen. band_store additionally
+    maintains the band_hash-bucketed band store (_band_store_step) that
+    cluster_store_incremental(use_band_store=True) scans shuffle-free."""
     cfg = cfg or PipelineConfig()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -138,6 +202,9 @@ def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None,
                 store_dir, "sig_text", batch_id,
             )
             _append(signatures.simhash64(batch_df), store_dir, "simhash_text", batch_id)
+            if band_store:
+                _band_store_step(batch_df.sparkSession, store_dir, batch_id,
+                                 cfg, band_buckets)
             if cfg.use_audio_fp:
                 # spectral landmarks are per-clip too -- stream-safe; the
                 # store parquet IS the materialization fingerprint_pairs
@@ -229,6 +296,7 @@ def cluster_store_incremental(
     prev_components: DataFrame,
     since_batch: int,
     cfg: PipelineConfig | None = None,
+    use_band_store: bool = False,
 ) -> DataFrame:
     """Incremental batch layer: fold the clips ingested AFTER `since_batch`
     into a previous clustering without re-clustering the corpus.
@@ -278,11 +346,37 @@ def cluster_store_incremental(
 
     new_bands = bands_of(delta_of("sig_pcm"), "pcm").unionByName(
         bands_of(delta_of("sig_text"), "text"))
-    bands_all = bands_of(read_store(spark, store_dir, "sig_pcm"), "pcm").unionByName(
-        bands_of(read_store(spark, store_dir, "sig_text"), "text"))
-    key = ["band_id", "band_hash"]
-    touched = new_bands.select(*key).distinct()
-    in_scope = bands_all.join(touched, key, "left_semi").persist()
+    if use_band_store:
+        # the stream-maintained bucketed band store (_band_store_step):
+        # the store-side scan of the touched-bucket semi-join below reads
+        # the persisted band_hash bucketing with NO Exchange -- the former
+        # re-band-the-whole-signature-store projection disappears. The
+        # store must cover every landed batch (the sink appends it per
+        # batch; a stream run without band_store=True leaves it absent,
+        # which raises here rather than silently under-clustering).
+        from ..operators import incremental
+
+        table = band_store_table_name(store_dir)
+        if not spark.catalog.tableExists(table):
+            incremental.register_chunk_store(
+                spark, table, band_store_path(store_dir))
+        bands_all = spark.table(table)
+    else:
+        bands_all = bands_of(
+            read_store(spark, store_dir, "sig_pcm"), "pcm"
+        ).unionByName(bands_of(read_store(spark, store_dir, "sig_text"), "text"))
+    # Touched-bucket scope keyed on band_hash ALONE: it is the bucketed
+    # band store's bucket column, so the store-side scan of this semi-join
+    # is shuffle-free (a composite (band_id, band_hash) key would force a
+    # store shuffle -- Spark requires all join keys bucketed for
+    # co-partitioning). The scope is a negligible superset (a band_hash
+    # shared across band_ids only via 64-bit xxhash collision); any extra
+    # rows land in their own (band_id, band_hash) buckets downstream and
+    # can only produce old-old pairs, which the new-clip filter drops --
+    # end-to-end equality with a full re-run stays pinned by
+    # test_lambda_incremental_cluster_matches_full.
+    touched = new_bands.select("band_hash").distinct()
+    in_scope = bands_all.join(touched, "band_hash", "left_semi").persist()
     try:
         pairs = cand_ops.candidate_pairs(
             in_scope, pair_cap=cfg.pair_cap,

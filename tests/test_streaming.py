@@ -453,6 +453,65 @@ def test_lambda_incremental_cluster_matches_full(spark, tmp_path):
     assert mixed, "fixture produced no cross-phase duplicate group"
 
 
+def test_lambda_incremental_band_store(spark, tmp_path):
+    """Stream-maintained bucketed band store: the sink appends each
+    micro-batch's LSH bands to a band_hash-bucketed table; incremental
+    clustering with use_band_store=True yields labels identical to a full
+    re-cluster, the touched-bucket semi-join scans the store bucketed
+    with NO store-side Exchange, and a replayed batch appends nothing
+    (the _appended_batches.json registry)."""
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        band_store_table_name, cluster_store, cluster_store_incremental,
+        make_signature_sink)
+
+    rows, truth = clips_src.generate_clips(
+        n_base=16, dup_frac=0.3, near_frac=0.2, n_const=0, seed=33)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    import hashlib
+    rows = sorted(rows, key=lambda r: hashlib.sha256(
+        r["clip_id"].encode()).hexdigest())
+    cut = 2 * len(rows) // 3
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store, band_store=True, band_buckets=8)
+    sink(df_of(rows[:cut]), 0)
+    prev = cluster_store(spark, store, str(tmp_path / "run1")).localCheckpoint()
+    sink(df_of(rows[cut:]), 1)
+
+    tbl = band_store_table_name(store)
+    n_bands = spark.table(tbl).count()
+    sink(df_of(rows[cut:]), 1)  # replay: registry makes the append a no-op
+    assert spark.table(tbl).count() == n_bands
+
+    full = cluster_store(spark, store, str(tmp_path / "run2"))
+    incr = cluster_store_incremental(spark, store, prev, since_batch=0,
+                                     use_band_store=True)
+    assert (sorted((r.clip_id, r.component_id) for r in incr.collect())
+            == sorted((r.clip_id, r.component_id) for r in full.collect()))
+
+    # plan shape: the touched semi-join is keyed on band_hash (the bucket
+    # column), so the store side reads the persisted bucketing with NO
+    # Exchange -- exactly ONE Exchange total (the touched side)
+    touched = (spark.table(tbl).select("band_hash").distinct()
+               .limit(10).localCheckpoint())
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scoped = spark.table(tbl).join(touched, "band_hash", "left_semi")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            scoped._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange (") == 1, plan  # tree lists each node once
+
+
 def test_lambda_incremental_cluster_spectral_matches_full(spark, tmp_path):
     """Incremental batch layer with the spectral channel ON: the delta run
     must still match a full re-cluster bit-for-bit, including an edge only
