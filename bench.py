@@ -606,6 +606,80 @@ def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
         spark.stop()
 
 
+def band_store_evidence(cpus: int) -> dict:
+    """Touched-bucket scan evidence for the incremental clustering path
+    (streaming/lambda_arch.py use_band_store): a fixed 20k-key touched set
+    semi-joined against band stores of SPARK_GRAFT_BAND_ROWS (default
+    4M/16M) rows, (a) band_hash-bucketed vs (b) plain parquet. Same
+    methodology as store_evidence: the headline is measured SHUFFLE VOLUME
+    from each execution's own SQL metrics -- the bucketed store's scan
+    must shuffle nothing (the only Exchange is the touched side, constant)
+    while the plain layout re-shuffles the store per run."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.operators import incremental
+    from go_cdc_chunkers_spark.session import get_spark
+
+    sizes = tuple(
+        int(s) * 1_000_000 for s in
+        os.environ.get("SPARK_GRAFT_BAND_ROWS", "4,16").split(",") if s.strip())
+    n_touched = 20_000
+    spark = get_spark(app="bench-bandstore", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ev: dict = {"band_touched_keys": n_touched, "band_store_sizes": list(sizes)}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for n in sizes:
+            tag = f"{n // 1_000_000}m"
+            bpath = os.path.join(BENCH_DIR, f"bandstore_b_{tag}")
+            ppath = os.path.join(BENCH_DIR, f"bandstore_p_{tag}")
+            table = f"bench_band_store_{tag}"
+            rows = spark.range(n).select(
+                (F.col("id") % 32).cast("int").alias("band_id"),
+                F.xxhash64(F.col("id") % (n // 8), F.lit(tag)).alias("band_hash"),
+                F.concat(F.lit("c"), (F.col("id") / 64).cast("long")
+                         .cast("string")).alias("clip_id"),
+                F.lit("pcm").alias("src"),
+            )
+            if not os.path.exists(os.path.join(bpath, "_store_meta.json")):
+                incremental.write_band_store(rows, table, bpath, n_buckets=64)
+            elif not spark.catalog.tableExists(table):
+                incremental.register_chunk_store(spark, table, bpath)
+            if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
+                rows.write.mode("overwrite").parquet(ppath)
+            touched = (spark.range(n_touched).select(
+                F.xxhash64(F.col("id") * 97 % (n // 8), F.lit(tag))
+                .alias("band_hash")).distinct().cache())
+            touched.count()
+
+            modes = {
+                "bucketed": lambda: spark.table(table).join(
+                    touched, "band_hash", "left_semi"),
+                "plain": lambda: spark.read.parquet(ppath).join(
+                    touched, "band_hash", "left_semi"),
+            }
+            for fn in modes.values():
+                fn().count()  # warm
+            best = {m: float("inf") for m in modes}
+            hits, shuf = {}, {}
+            for _ in range(2):
+                for m, fn in modes.items():
+                    cnt, sec, sb = _exec_count_with_shuffle(fn())
+                    hits[m], shuf[m] = cnt, sb
+                    best[m] = min(best[m], sec)
+            assert len(set(hits.values())) == 1, hits
+            ev[f"band_scope_rows_{tag}"] = hits["bucketed"]
+            for m in modes:
+                ev[f"band_scope_sec_{m}_{tag}"] = round(best[m], 3)
+                ev[f"band_scope_shuffle_mb_{m}_{tag}"] = round(shuf[m] / 1e6, 2)
+            ev[f"band_shuffle_saved_vs_plain_{tag}"] = round(
+                (shuf["plain"] - shuf["bucketed"]) / max(shuf["plain"], 1), 4)
+            touched.unpersist()
+    finally:
+        spark.stop()
+    return ev
+
+
 def ensure_big_file(mb: int) -> str:
     """Deterministic pseudo-random >=1 GB payload for the ranged-chunking
     evidence, written once under .bench/ (seeded PCG chunks, 1 MB at a
@@ -850,6 +924,11 @@ def main():
         print(json.dumps(pipeline_session(
             int(sys.argv[2]), int(sys.argv[3]),
             exact_first=mode == "exact", ranged=mode == "ranged")))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--band-store":
+        print(json.dumps({"metric": "incremental_band_store_scan",
+                          **band_store_evidence(cpus)}))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--bigfile":
