@@ -1633,6 +1633,116 @@ ORDER BY a, b
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ layout -- the production shape at 10^12 vectors
+    (IVF bounds candidate COUNT via 4-of-16 cluster probes; PQ bounds
+    BYTES per candidate via 4x8-code ADC; exact re-rank of the top-20):
+    similarity.pq_topk(candidates=ivf_candidates(...), refine=20).
+    Centroids, codebooks (trained on a 50% deterministic hash-sample),
+    and codes are materialized; the oracle replays BOTH halves and their
+    composition relationally -- centroid assignment + probing, the ADC
+    table restricted to IVF candidates, the top-20 cut, and the exact
+    final top-5."""
+    from .operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.ivf_centroids(emb, n_centroids=16, iters=1)
+    cmat = _materialize(spark, cents, "ann_ivfpq_centroids")
+    cb = similarity.pq_codebooks(emb, m=4, ks=8, iters=1, dim=64,
+                                 train_fraction=0.5)
+    cbm = _materialize(spark, cb, "ann_ivfpq_codebooks")
+    codes = similarity.pq_encode(emb, cbm, m=4, dsub=16)
+    cdm = _materialize(spark, codes, "ann_ivfpq_codes")
+    cand = similarity.ivf_candidates(emb, q, cmat, n_probe=4)
+    return similarity.pq_topk(emb, q, cbm, m=4, dsub=16, k=5,
+                              codes=cdm, candidates=cand, refine=20)
+
+
+ANN_IVF_PQ_SQL = f"""
+WITH ct AS (SELECT * FROM {_mat('ann_ivfpq_centroids')}),
+cb AS (SELECT * FROM {_mat('ann_ivfpq_codebooks')}),
+codes AS (SELECT * FROM {_mat('ann_ivfpq_codes')}),
+{_ANN_DIMS_SQL},
+ctdims AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS val
+  FROM ct
+),
+ctnorms AS (
+  SELECT centroid_id,
+         CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT) AS nrm
+  FROM ctdims GROUP BY centroid_id
+),
+ecd AS (
+  SELECT e.vec_id, cd.centroid_id,
+         CAST(sum(CAST(round(e.val * cd.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+  FROM dims e JOIN ctdims cd ON cd.pos = e.pos
+  GROUP BY 1, 2
+),
+csim AS (
+  SELECT d.vec_id, d.centroid_id,
+         round(d.dot_s / sqrt(CAST(en.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)), 6) AS sim
+  FROM ecd d
+  JOIN norms en ON en.vec_id = d.vec_id
+  JOIN ctnorms cn ON cn.centroid_id = d.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM csim) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM csim WHERE vec_id < 20) WHERE rn <= 4
+),
+ivfcand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+cbdims AS (
+  SELECT sub_id, code, generate_subscripts(centroid, 1) AS spos,
+         CAST(unnest(centroid) AS DOUBLE) AS val
+  FROM cb
+),
+qsub AS (
+  SELECT vec_id AS query_id, CAST((pos - 1) // 16 AS INT) AS sub_id,
+         ((pos - 1) % 16) + 1 AS spos, val
+  FROM dims WHERE vec_id < 20
+),
+lut AS (
+  SELECT q.query_id, q.sub_id, c.code,
+         CAST(sum(CAST(round(q.val * c.val * 1e12) AS BIGINT)) AS BIGINT) AS pd
+  FROM qsub q JOIN cbdims c ON c.sub_id = q.sub_id AND c.spos = q.spos
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         sum(l.pd)::BIGINT AS approx_dot
+  FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+adcf AS (
+  SELECT a.query_id, a.neighbor_id, a.approx_dot
+  FROM adc a JOIN ivfcand c
+    ON c.query_id = a.query_id AND c.neighbor_id = a.neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS rn
+    FROM adcf) WHERE rn <= 20
+),
+{_ANN_SCORE_SQL}
+"""
+
+
 def audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 mu-law decode (operators/codecs.py), engine-vs-engine: clips
     are companded to mu-law driver-side (deterministic fixture), the byte
@@ -2030,6 +2140,7 @@ QUERIES = {
     "audio_fp_neardup": audio_fp_neardup,
     "audio_fp_incremental": audio_fp_incremental,
     "audio_mulaw_decode": audio_mulaw_decode,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
     "doc_length_stats": doc_length_stats,
@@ -2084,6 +2195,7 @@ ORACLES = {
     "audio_fp_neardup": AUDIO_FP_SQL,
     "audio_fp_incremental": AUDIO_FP_INC_SQL,
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
+    "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,

@@ -340,18 +340,19 @@ def ivf_centroids(
     return cents
 
 
-def ivf_topk(
+def ivf_candidates(
     embeddings: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: per query, probe the n_probe nearest clusters, score only
-    their members (integer-exact), take top-k. Candidates ~ n_probe/k_cent
-    of the corpus -- the coarse-quantizer analogue of the LSH bucket path."""
+    """(query_id, neighbor_id) IVF candidate pairs: per query, all members
+    of its n_probe nearest clusters. The composable half of ivf_topk --
+    feed it to topk_from_candidates (exact scoring) or pq_topk's
+    `candidates` arg (the IVF-PQ layout: IVF bounds candidate COUNT, PQ
+    bounds bytes per candidate)."""
     from pyspark.sql.functions import broadcast
 
     assign = ivf_assign(embeddings, centroids, id_col, vec_col)
@@ -367,12 +368,28 @@ def ivf_topk(
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "centroid_id")
     )
-    cand = (
+    return (
         probes.join(assign, "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: per query, probe the n_probe nearest clusters, score only
+    their members (integer-exact), take top-k. Candidates ~ n_probe/k_cent
+    of the corpus -- the coarse-quantizer analogue of the LSH bucket path."""
+    cand = ivf_candidates(embeddings, queries, centroids, n_probe,
+                          id_col, vec_col)
     return topk_from_candidates(embeddings, cand, k, id_col, vec_col)
 
 
