@@ -8,6 +8,16 @@ document per command.
     python jobs/store.py report --store DIR --path SRC [--broadcast-batch]
     python jobs/store.py append --store DIR --path SRC
 
+`--kind bands` maintains a NEAR-DUP band store instead (LSH bands of the
+chunk MinHash, bucketed by band_hash): `report` prints candidate pairs of
+the batch against the store via stop-band-pruned equi-join (using the
+compaction-maintained _band_df sidecar when present -- no store-wide
+aggregate in the probe), `append` grows the store by the batch's bands
+(idempotence is the caller's schedule, like the streaming registry), and
+`compact` rewrites + regenerates the df sidecar. Signature parameters
+(k / bands / rows-per-band on top of the chunk sizing) persist in
+_chunking.json and define hash identity the same way.
+
 `--path` accepts a directory of payload files (binaryFile tree,
 sources/files.py) or a parquet clips table (`--format parquet`). The store
 lives at --store as a bucketed parquet table; commands re-attach it to the
@@ -28,8 +38,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLE = "chunk_store"
+BAND_TABLE = "band_store_cli"
 CHUNKING_FILE = "_chunking.json"
 _CHUNK_KEYS = ("algo", "min_size", "normal_size", "max_size")
+_SIG_KEYS = ("k", "bands", "rows_per_band")
 
 
 def _effective_chunking(args) -> dict:
@@ -43,9 +55,14 @@ def _effective_chunking(args) -> dict:
     if args.cmd != "init" and os.path.exists(cpath):
         saved = json.load(open(cpath))
     eff = {}
-    for key in _CHUNK_KEYS:
+    keys = _CHUNK_KEYS + (_SIG_KEYS if args.kind == "bands" else ())
+    for key in keys:
         given = getattr(args, key)
         if saved is not None:
+            if key not in saved:
+                raise SystemExit(
+                    f"store at {args.store} was initialized without "
+                    f"{key!r} -- it is a different --kind than requested")
             if given is not None and given != saved[key]:
                 raise SystemExit(
                     f"--{key.replace('_', '-')} {given} conflicts with the "
@@ -55,7 +72,21 @@ def _effective_chunking(args) -> dict:
         else:
             eff[key] = given
     eff["algo"] = eff["algo"] or "fastcdc-v1.0.0"
+    if args.kind == "bands":
+        eff["k"] = eff["k"] or 128
+        eff["bands"] = eff["bands"] or 32
+        eff["rows_per_band"] = eff["rows_per_band"] or 4
     return eff
+
+
+def _bands(spark, args, cfg: dict):
+    """Batch LSH bands: chunk -> MinHash(k) -> banded hashes (pcm stream;
+    the file-tree source carries no transcript channel)."""
+    from go_cdc_chunkers_spark.operators import signatures
+
+    sig = signatures.minhash_signatures(_chunks(spark, args, cfg), k=cfg["k"])
+    return signatures.lsh_bands(sig, cfg["bands"], cfg["rows_per_band"],
+                                src="pcm")
 
 
 def _opts_of(chunking_cfg: dict):
@@ -90,6 +121,9 @@ def _chunks(spark, args, chunking_cfg: dict):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["init", "report", "append", "compact"])
+    ap.add_argument("--kind", choices=["chunks", "bands"], default="chunks",
+                    help="chunks = exact-dedup store; bands = near-dup "
+                         "LSH band store")
     ap.add_argument("--store", required=True)
     ap.add_argument("--path", default=None,
                     help="batch source (required except for compact)")
@@ -106,6 +140,13 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64,
                     help="bucket count at init; later commands read it from "
                          "the store's _store_meta.json")
+    ap.add_argument("--k", type=int, default=None,
+                    help="bands kind: MinHash signature length at init")
+    ap.add_argument("--bands", type=int, default=None)
+    ap.add_argument("--rows-per-band", dest="rows_per_band", type=int,
+                    default=None)
+    ap.add_argument("--max-df", type=int, default=64,
+                    help="bands report: stop-band document frequency cap")
     ap.add_argument("--broadcast-batch", action="store_true",
                     help="small-batch inverted probe (store never shuffled/sorted)")
     ap.add_argument("--cpus", type=int, default=None)
@@ -117,15 +158,29 @@ def main() -> int:
     if args.cmd != "compact" and not args.path:
         ap.error("--path is required for init/report/append")
 
+    table = BAND_TABLE if args.kind == "bands" else TABLE
+    # the store's own bucketing metadata says what kind it is -- running a
+    # chunks command against a bands store (or vice versa) is refused
+    # before any Spark work, not discovered as a schema error mid-probe
+    if args.cmd != "init" and os.path.exists(
+            os.path.join(args.store, "_store_meta.json")):
+        got = incremental.read_store_meta(args.store)["bucket_cols"]
+        want = ["band_hash"] if args.kind == "bands" else ["chunk_hash"]
+        if got != want:
+            raise SystemExit(
+                f"store at {args.store} is bucketed by {got}: it was "
+                f"initialized as a different --kind than {args.kind!r}")
     spark = get_spark(app=f"store-{args.cmd}", cpus=args.cpus)
     try:
         if args.cmd == "compact":
-            incremental.register_chunk_store(spark, TABLE, args.store)
-            out = {"cmd": "compact", "store": args.store,
-                   **incremental.compact_store(spark, TABLE, args.store)}
+            incremental.register_chunk_store(spark, table, args.store)
+            out = {"cmd": "compact", "kind": args.kind, "store": args.store,
+                   **incremental.compact_store(spark, table, args.store)}
             print(json.dumps(out))
             return 0
         chunking_cfg = _effective_chunking(args)
+        if args.kind == "bands":
+            return _main_bands(spark, args, chunking_cfg)
         batch = _chunks(spark, args, chunking_cfg)
         if args.cmd == "init":
             if os.path.exists(os.path.join(args.store, "_SUCCESS")):
@@ -165,6 +220,46 @@ def main() -> int:
         return 0
     finally:
         spark.stop()
+
+
+def _main_bands(spark, args, cfg: dict) -> int:
+    from go_cdc_chunkers_spark.operators import incremental
+
+    batch = _bands(spark, args, cfg)
+    if args.cmd == "init":
+        if os.path.exists(os.path.join(args.store, "_SUCCESS")):
+            raise SystemExit(f"store already exists at {args.store}")
+        incremental.write_band_store(batch, BAND_TABLE, args.store,
+                                     n_buckets=args.buckets)
+        with open(os.path.join(args.store, CHUNKING_FILE), "w") as f:
+            json.dump(cfg, f)
+        out = {"cmd": "init", "kind": "bands", "store": args.store,
+               "rows": spark.table(BAND_TABLE).count(),
+               "buckets": args.buckets, "signature": cfg}
+    else:
+        store = incremental.register_chunk_store(spark, BAND_TABLE, args.store)
+        if args.cmd == "report":
+            bdf = incremental.read_band_df(spark, args.store)
+            pairs = incremental.near_dup_candidates_vs_store(
+                batch, store, max_df=args.max_df, store_df=bdf
+            ).orderBy("new_clip", "store_clip").collect()
+            out = {
+                "cmd": "report", "kind": "bands", "store": args.store,
+                "n_candidates": len(pairs),
+                "used_df_sidecar": bdf is not None,
+                "pairs": [[r["new_clip"], r["store_clip"]] for r in pairs],
+            }
+        else:  # append
+            before = store.count()
+            incremental.write_band_store(
+                batch, BAND_TABLE, args.store,
+                n_buckets=incremental.read_store_meta(args.store)["n_buckets"],
+                mode="append")
+            out = {"cmd": "append", "kind": "bands", "store": args.store,
+                   "rows_before": before,
+                   "rows_after": spark.table(BAND_TABLE).count()}
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":

@@ -320,6 +320,72 @@ def test_band_store_candidates_and_stop_band_prune(spark, tmp_path_factory, no_b
     assert plan(hot).count("Exchange") == 0
 
 
+def test_store_cli_band_kind_cycle(tmp_path):
+    """jobs/store.py --kind bands: init a band store from tree A, report
+    tree B (one NEAR-dup of an A file -- a few byte edits, invisible to
+    exact dedup but band-colliding -- plus one novel file), append,
+    compact (persists the _band_df sidecar), report again using the
+    sidecar-backed probe. Also pins kind mismatch rejection."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from go_cdc_chunkers_spark.sources.clips import edit_pcm_bytes
+
+    rng = np.random.default_rng(7)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    payloads = [rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes()
+                for _ in range(3)]
+    for i, p in enumerate(payloads):
+        (a / f"clip{i}.pcm").write_bytes(p)
+    (b / "near0.pcm").write_bytes(edit_pcm_bytes(payloads[0], 4, seed=3))
+    (b / "new0.pcm").write_bytes(
+        rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes())
+
+    job = Path(__file__).parent.parent / "jobs" / "store.py"
+    store = str(tmp_path / "bstore")
+    base = ["--kind", "bands", "--store", store, "--cpus", "4",
+            "--min-size", "256", "--normal-size", "1024", "--max-size", "8192"]
+
+    def run(*argv, expect_fail=False):
+        r = subprocess.run([sys.executable, str(job), *argv],
+                           capture_output=True, text=True, timeout=600)
+        if expect_fail:
+            assert r.returncode != 0, r.stdout[-400:]
+            return r.stderr
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    init = run("init", "--path", str(a), *base, "--k", "64", "--bands", "16",
+               "--rows-per-band", "4", "--buckets", "8")
+    assert init["rows"] > 0 and init["signature"]["k"] == 64
+
+    rep = run("report", "--path", str(b), *base)
+    assert rep["used_df_sidecar"] is False  # not compacted yet
+    names = {Path(p[0]).name for p in rep["pairs"]}
+    assert names == {"near0.pcm"}, rep["pairs"]  # near-dup found, novel not
+    assert all(Path(p[1]).name == "clip0.pcm" for p in rep["pairs"])
+
+    app = run("append", "--path", str(b), *base)
+    assert app["rows_after"] > app["rows_before"]
+
+    comp = run("compact", *base)
+    assert comp["kind"] == "bands"
+    rep2 = run("report", "--path", str(b), *base)
+    assert rep2["used_df_sidecar"] is True  # compaction persisted _band_df
+    # post-append the batch's own bands are in the store; the near pair
+    # (and self-collisions, filtered to distinct clips) must still surface
+    assert {Path(p[0]).name for p in rep2["pairs"]} >= {"near0.pcm"}
+
+    # a chunks-kind command against a bands store is refused
+    err = run("report", "--path", str(b), "--store", store, "--cpus", "4",
+              "--min-size", "256", "--normal-size", "1024",
+              "--max-size", "8192", expect_fail=True)
+    assert "different --kind" in err or "bucketed by" in err
+
+
 def test_store_cli_opts_built_from_any_size_flag():
     """jobs/store.py: chunking opts must be built when ANY size flag is
     given -- --min-size/--max-size without --normal-size previously fell
