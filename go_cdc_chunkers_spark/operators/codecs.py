@@ -104,22 +104,33 @@ def alaw_encode(pcm: np.ndarray) -> bytes:
 # IMA ADPCM (WAV framing, mono)
 # ---------------------------------------------------------------------------
 
-def ima_adpcm_decode(data: bytes, block_align: int = 256) -> np.ndarray:
-    """WAV IMA ADPCM payload -> int16 samples (mono). Each block_align-byte
-    block: 4-byte header (predictor int16, step index uint8, reserved),
-    then (block_align - 4) bytes of 4-bit codes, low nibble first ->
-    samples_per_block = (block_align - 4) * 2 + 1 (the header's predictor
-    IS the first output sample, per the WAV framing convention).
+def ima_adpcm_decode(data: bytes, block_align: int = 256,
+                     channels: int = 1) -> np.ndarray:
+    """WAV IMA ADPCM payload -> int16 samples. Each block_align-byte block
+    carries one 4-byte header PER CHANNEL (predictor int16, step index
+    uint8, reserved), then the codes: mono is a flat nibble stream (low
+    nibble first); stereo interleaves 4-byte (8-nibble) channel groups
+    L,R,L,R... Output is standard interleaved PCM; per-channel
+    samples_per_block = (block_align - 4*C) * 2 / C + 1 (each header's
+    predictor IS that channel's first output sample, per the WAV framing
+    convention).
 
-    Vectorized ACROSS blocks: per-step state (predictor, step index) is an
-    array over all blocks, and the sequential loop runs only over the
-    within-block sample index -- a clip's decode cost is O(samples) with
-    numpy-lane parallelism over blocks, bounded memory, no Python
-    per-sample work proportional to block count. Trailing partial block is
-    decoded the same way (short lane)."""
+    Vectorized ACROSS (block, channel) lanes: per-step state (predictor,
+    step index) is an array over all lanes, and the sequential loop runs
+    only over the within-block per-channel sample index -- a clip's
+    decode cost is O(samples) with numpy-lane parallelism, bounded
+    memory, no Python per-sample work proportional to block count. A
+    trailing partial block is decoded the same way (short lane), mono
+    only -- a truncated stereo tail loses whole groups."""
+    C = int(channels)
+    if C not in (1, 2):
+        raise ValueError(f"ima_adpcm: channels must be 1 or 2, got {C}")
     raw = np.frombuffer(data, dtype=np.uint8)
-    if block_align < 8:
+    hdr = 4 * C
+    if block_align < hdr + 4 * C:
         raise ValueError(f"ima_adpcm: block_align {block_align} too small")
+    if C == 2 and len(raw) % block_align:
+        raise ValueError("ima_adpcm: stereo stream truncated mid-block")
     n_blocks = (len(raw) + block_align - 1) // block_align
     if n_blocks == 0:
         return np.empty(0, np.int16)
@@ -128,21 +139,31 @@ def ima_adpcm_decode(data: bytes, block_align: int = 256) -> np.ndarray:
         raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
     blocks = raw.reshape(n_blocks, block_align)
 
-    pred = (blocks[:, 0].astype(np.int32)
-            | (blocks[:, 1].astype(np.int32) << 8))
+    # per-(block, channel) header state
+    h = blocks[:, :hdr].reshape(n_blocks, C, 4)
+    pred = h[:, :, 0].astype(np.int32) | (h[:, :, 1].astype(np.int32) << 8)
     pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 sign
-    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    index = np.clip(h[:, :, 2].astype(np.int32), 0, 88)
 
-    body = blocks[:, 4:]                                   # (B, block_align-4)
-    nibbles = np.empty((n_blocks, body.shape[1] * 2), np.int32)
-    nibbles[:, 0::2] = body & 0x0F                         # low nibble first
-    nibbles[:, 1::2] = (body >> 4) & 0x0F
+    body = blocks[:, hdr:]                       # (B, block_align - 4C)
+    if C == 2:
+        # groups of 8 bytes alternate channels: (B, G, 2, 4) -> per-channel
+        # contiguous byte streams (B, C, G*4)
+        G = body.shape[1] // 8
+        by_ch = (body[:, : G * 8].reshape(n_blocks, G, 2, 4)
+                 .transpose(0, 2, 1, 3).reshape(n_blocks, 2, G * 4))
+    else:
+        by_ch = body.reshape(n_blocks, 1, body.shape[1])
+    npc = by_ch.shape[2] * 2                     # nibbles per channel
+    nibbles = np.empty((n_blocks, C, npc), np.int32)
+    nibbles[:, :, 0::2] = by_ch & 0x0F           # low nibble first
+    nibbles[:, :, 1::2] = (by_ch >> 4) & 0x0F
 
-    spb = body.shape[1] * 2 + 1
-    out = np.empty((n_blocks, spb), np.int16)
-    out[:, 0] = pred.astype(np.int16)
-    for j in range(nibbles.shape[1]):                      # lockstep over lanes
-        code = nibbles[:, j]
+    spb = npc + 1                                # per channel
+    out = np.empty((n_blocks, C, spb), np.int16)
+    out[:, :, 0] = pred.astype(np.int16)
+    for j in range(npc):                         # lockstep over B*C lanes
+        code = nibbles[:, :, j]
         step = IMA_STEP_TABLE[index]
         diff = step >> 3
         diff += np.where(code & 4, step, 0)
@@ -150,10 +171,11 @@ def ima_adpcm_decode(data: bytes, block_align: int = 256) -> np.ndarray:
         diff += np.where(code & 1, step >> 2, 0)
         pred = np.clip(pred + np.where(code & 8, -diff, diff), -32768, 32767)
         index = np.clip(index + IMA_INDEX_TABLE[code & 7], 0, 88)
-        out[:, j + 1] = pred.astype(np.int16)
+        out[:, :, j + 1] = pred.astype(np.int16)
 
-    flat = out.reshape(-1)
-    if pad:  # drop samples decoded from padding of the final short block
+    # (B, C, spb) -> interleaved PCM: per block, sample-major then channel
+    flat = out.transpose(0, 2, 1).reshape(-1)
+    if pad:  # mono only (stereo raised above): drop padding-decoded samples
         tail_body = block_align - pad - 4
         if tail_body < 0:  # fragment too short for a header: whole block junk
             flat = flat[: (n_blocks - 1) * spb]
@@ -162,75 +184,126 @@ def ima_adpcm_decode(data: bytes, block_align: int = 256) -> np.ndarray:
     return flat
 
 
-def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
-    """int16 mono samples -> WAV-framed IMA ADPCM blocks (sequential
-    reference encoder: encoding is inherently a per-sample feedback loop
-    and runs once per test/ingest-normalization, not in a hot path)."""
+def _ima_encode_channel(samples, pred: int, index: int):
+    """(nibbles, final_index): encode one channel's samples from a given
+    predictor/state (the shared per-sample feedback step)."""
+    nibbles = []
+    for s in samples:
+        step = int(IMA_STEP_TABLE[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        d = step >> 3
+        if diff >= step:
+            code |= 4
+            diff -= step
+            d += step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+            d += step >> 1
+        if diff >= step >> 2:
+            code |= 1
+            d += step >> 2
+        pred = max(-32768, min(32767, pred + (-d if code & 8 else d)))
+        index = max(0, min(88, index + int(IMA_INDEX_TABLE[code & 7])))
+        nibbles.append(code)
+    return nibbles, index
+
+
+def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256,
+                     channels: int = 1) -> bytes:
+    """int16 samples (interleaved if stereo) -> WAV-framed IMA ADPCM
+    blocks (sequential reference encoder: encoding is inherently a
+    per-sample feedback loop and runs once per test/ingest-normalization,
+    not in a hot path). Stereo interleaves 4-byte nibble groups per the
+    WAV layout; input length should cover whole blocks for stereo."""
+    C = int(channels)
     samples = pcm.astype(np.int32)
-    spb = (block_align - 4) * 2 + 1
+    spb = (block_align - 4 * C) * 2 // C + 1
     out = bytearray()
-    index = 0
+    index = [0] * C
     pos = 0
-    while pos < len(samples):
-        chunk = samples[pos:pos + spb]
-        pred = int(chunk[0])
-        out += int(pred & 0xFFFF).to_bytes(2, "little")
-        out.append(index)
-        out.append(0)
-        nibbles = []
-        for s in chunk[1:]:
-            step = int(IMA_STEP_TABLE[index])
-            diff = int(s) - pred
-            code = 0
-            if diff < 0:
-                code = 8
-                diff = -diff
-            d = step >> 3
-            if diff >= step:
-                code |= 4
-                diff -= step
-                d += step
-            if diff >= step >> 1:
-                code |= 2
-                diff -= step >> 1
-                d += step >> 1
-            if diff >= step >> 2:
-                code |= 1
-                d += step >> 2
-            pred = max(-32768, min(32767, pred + (-d if code & 8 else d)))
-            index = max(0, min(88, index + int(IMA_INDEX_TABLE[code & 7])))
-            nibbles.append(code)
-        if len(nibbles) % 2:
-            nibbles.append(0)
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
+    n_frames = len(samples) // C
+    while pos < n_frames:
+        frames = samples[pos * C:(pos + min(spb, n_frames - pos)) * C]
+        chans = [frames[c::C] for c in range(C)]
+        nibs = []
+        for c in range(C):
+            pred = int(chans[c][0])
+            out += int(pred & 0xFFFF).to_bytes(2, "little")
+            out.append(index[c])
+            out.append(0)
+            nb, index[c] = _ima_encode_channel(chans[c][1:], pred, index[c])
+            nibs.append(nb)
+        if C == 1:
+            nb = nibs[0]
+            if len(nb) % 2:
+                nb.append(0)
+            for lo, hi in zip(nb[0::2], nb[1::2]):
+                out.append(lo | (hi << 4))
+        else:
+            width = (block_align - 4 * C) * 2 // C  # nibbles per channel
+            for c in range(C):
+                nibs[c] += [0] * (width - len(nibs[c]))
+            for g in range(width // 8):
+                for c in range(C):
+                    seg = nibs[c][g * 8:(g + 1) * 8]
+                    for lo, hi in zip(seg[0::2], seg[1::2]):
+                        out.append(lo | (hi << 4))
         pos += spb
     return bytes(out)
 
 
-def ima_adpcm_decode_reference(data: bytes, block_align: int = 256) -> np.ndarray:
+def ima_adpcm_decode_reference(data: bytes, block_align: int = 256,
+                               channels: int = 1) -> np.ndarray:
     """Per-sample pure-Python IMA ADPCM decoder: the differential oracle
     for the vectorized ima_adpcm_decode (cdc/naive.py pattern -- slow,
     obviously-correct, test-support only)."""
+    C = int(channels)
+
+    def step_one(code, pred, index):
+        step = int(IMA_STEP_TABLE[index])
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = max(-32768, min(32767, pred + (-diff if code & 8 else diff)))
+        index = max(0, min(88, index + int(IMA_INDEX_TABLE[code & 7])))
+        return pred, index
+
     out = []
     pos = 0
-    while pos + 4 <= len(data):
+    while pos + 4 * C <= len(data):
         block = data[pos:pos + block_align]
-        pred = int.from_bytes(block[0:2], "little", signed=True)
-        index = max(0, min(88, block[2]))
-        out.append(pred)
-        for byte in block[4:]:
-            for code in (byte & 0x0F, (byte >> 4) & 0x0F):
-                step = int(IMA_STEP_TABLE[index])
-                diff = step >> 3
-                if code & 4:
-                    diff += step
-                if code & 2:
-                    diff += step >> 1
-                if code & 1:
-                    diff += step >> 2
-                pred = max(-32768, min(32767, pred + (-diff if code & 8 else diff)))
-                index = max(0, min(88, index + int(IMA_INDEX_TABLE[code & 7])))
-                out.append(pred)
+        pred, index, ch_samples = [], [], []
+        for c in range(C):
+            h = block[4 * c:4 * c + 4]
+            pred.append(int.from_bytes(h[0:2], "little", signed=True))
+            index.append(max(0, min(88, h[2])))
+            ch_samples.append([pred[c]])
+        body = block[4 * C:]
+        if C == 1:
+            for byte in body:
+                for code in (byte & 0x0F, (byte >> 4) & 0x0F):
+                    pred[0], index[0] = step_one(code, pred[0], index[0])
+                    ch_samples[0].append(pred[0])
+        else:
+            for g in range(len(body) // (4 * C)):
+                for c in range(C):
+                    seg = body[g * 8 + 4 * c:g * 8 + 4 * c + 4]
+                    for byte in seg:
+                        for code in (byte & 0x0F, (byte >> 4) & 0x0F):
+                            pred[c], index[c] = step_one(code, pred[c], index[c])
+                            ch_samples[c].append(pred[c])
+        n = min(len(s) for s in ch_samples)
+        for i in range(n):
+            for c in range(C):
+                out.append(ch_samples[c][i])
         pos += block_align
     return np.array(out, dtype=np.int16)

@@ -60,9 +60,11 @@ def _decode_wav(raw: bytes) -> np.ndarray:
     if tag == 7:
         return codecs.mulaw_decode(data)
     if tag == 0x11:
-        if channels not in (0, 1):
-            raise NotImplementedError("wav: IMA ADPCM decoded for mono only")
-        return codecs.ima_adpcm_decode(data, block_align or 256)
+        if channels not in (0, 1, 2):
+            raise NotImplementedError(
+                f"wav: IMA ADPCM decoded for mono/stereo only ({channels} ch)")
+        return codecs.ima_adpcm_decode(data, block_align or 256,
+                                       channels=max(channels, 1))
     raise NotImplementedError(
         f"wav: format tag {tag} not decodable here (PCM s16le, G.711 "
         "A-law/mu-law, and mono IMA ADPCM are decoded for real)"

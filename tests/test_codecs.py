@@ -108,7 +108,34 @@ def test_wav_container_dispatch(speechish):
     with pytest.raises(NotImplementedError):
         _decode_wav(_wav(0x55, b"\x00" * 16))  # unknown tag still raises
     with pytest.raises(NotImplementedError):
-        _decode_wav(_wav(0x11, b"\x00" * 16, channels=2))  # stereo ADPCM
+        _decode_wav(_wav(0x11, b"\x00" * 256, channels=4))  # >2ch ADPCM
+
+
+def test_ima_adpcm_stereo_roundtrip_and_reference(speechish):
+    """Stereo WAV framing: interleaved 4-byte channel nibble groups, one
+    header per channel. Vectorized decode == per-sample reference; each
+    channel round-trips at ADPCM fidelity; WAV container dispatches."""
+    right = np.roll(speechish, 1000) // 2  # distinct second channel
+    spb = (256 - 8) * 2 // 2 + 1
+    n = (len(speechish) // spb) * spb      # whole stereo blocks
+    inter = np.empty(2 * n, np.int16)
+    inter[0::2], inter[1::2] = speechish[:n], right[:n]
+
+    enc = codecs.ima_adpcm_encode(inter, block_align=256, channels=2)
+    assert len(enc) % 256 == 0
+    vec = codecs.ima_adpcm_decode(enc, block_align=256, channels=2)
+    ref = codecs.ima_adpcm_decode_reference(enc, block_align=256, channels=2)
+    assert np.array_equal(vec, ref)
+    assert len(vec) == 2 * n
+
+    sl = snr_db(speechish[:n], vec[0::2])
+    sr = snr_db(right[:n], vec[1::2])
+    assert sl >= 25.0 and sr >= 25.0, (sl, sr)
+
+    got = _decode_wav(_wav(0x11, enc, block_align=256, channels=2))
+    assert np.array_equal(got, vec)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.ima_adpcm_decode(enc[:-3], block_align=256, channels=2)
 
 
 def test_decode_batch_codec_names(speechish):
