@@ -208,8 +208,11 @@ def spill_clips_to_files(
     it. Sandbox adapter for plans/pipeline.py's max_cell_bytes routing: on
     a real deployment the oversized tail's bytes already live in object
     storage (the clips relation carries a pointer, not the payload) and
-    this stage is a projection. Deterministic names -> idempotent rewrite
-    on stage resume; one file write per oversized clip, distributed."""
+    this stage is a projection. `out_dir` shares the pipeline workdir's
+    shared-filesystem assumption (every stage parquet already does): the
+    range tasks that later seek-read these files run on other executors.
+    Deterministic names -> idempotent rewrite on stage resume; one file
+    write per oversized clip, distributed."""
     os.makedirs(out_dir, exist_ok=True)
 
     def gen(batches):

@@ -80,6 +80,19 @@ def test_ranged_routing_matches_whole_buffer(spark, corpus, tmp_path):
     assert stitch[0]["bigfile_fallback_files"] == 0
 
 
+def test_max_cell_bytes_with_empty_big_tail(spark, tmp_path):
+    """max_cell_bytes set but nothing exceeds it: the ranged stages run
+    over empty relations end to end, output equals a plain run."""
+    rows, _ = clips_src.generate_clips(
+        n_base=6, dup_frac=0.3, near_frac=0.0, n_const=0, seed=5)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+          r["codec"], r["transcript"]) for r in rows], SCHEMA)
+    _pipe, labels = _run(spark, df, str(tmp_path / "cell"), 10 << 20)
+    _pipe2, plain = _run(spark, df, str(tmp_path / "plain"), None)
+    assert labels == plain
+
+
 def test_max_cell_bytes_validation(spark, tmp_path):
     df = spark.createDataFrame([("a", bytearray(b"xy"), 16000, 1,
                                  "pcm_s16le", "t")], SCHEMA)
