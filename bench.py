@@ -560,10 +560,26 @@ class RssSampler:
         return round(self.peak / 1e6, 1)
 
 
+def _jvm_gc_stats(spark) -> tuple[int, int]:
+    """(collections, ms) summed over the local JVM's GC beans -- the
+    cmd/cdcbench GC-count story (bench.go:138-173 reports ~840 GCs for
+    the default buffers vs 41 pooled) read from the live JVM."""
+    beans = spark._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+    it = beans.iterator()
+    n = ms = 0
+    while it.hasNext():
+        b = it.next()
+        n += max(b.getCollectionCount(), 0)
+        ms += max(b.getCollectionTime(), 0)
+    return int(n), int(ms)
+
+
 def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
                      ranged: bool = False):
     """One fresh-JVM pipeline run; returns clips/sec + per-stage seconds
-    (from the pipeline's own lineage rows) + peak process-tree RSS.
+    (from the pipeline's own lineage rows) + peak process-tree RSS + the
+    run's JVM GC collection count/time delta.
     ranged=True sets max_cell_bytes=128 KB, routing the 4-8 s clips
     (~128-256 KB) through the bounded-memory ranged chunker."""
     from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
@@ -581,10 +597,12 @@ def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
             exact_first=exact_first,
             max_cell_bytes=(128 << 10) if ranged else None)
         pipe = Pipeline(spark, wd, cfg)
+        gc0 = _jvm_gc_stats(spark)
         with RssSampler() as rss:
             t = time.time()
             pipe.run(clips).count()
             dt = time.time() - t
+        gc1 = _jvm_gc_stats(spark)
         stages = {}
         extras = {}
         with open(os.path.join(wd, "lineage.jsonl")) as f:
@@ -599,6 +617,8 @@ def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
             "corpus_mb": round(total_bytes / 1e6, 1),
             "sec": round(dt, 3), "clips_per_sec": round(n_clips / dt, 2),
             "peak_rss_mb": rss.peak_mb,
+            "gc_collections": gc1[0] - gc0[0],
+            "gc_ms": gc1[1] - gc0[1],
             "stage_sec": stages, **extras,
         }
     finally:
@@ -952,6 +972,7 @@ def main():
         out: dict = {"metric": "pipeline_peak_rss", "rounds": rounds}
         peak = {m: 0.0 for m in ("off", "exact", "ranged")}
         sec = {m: float("inf") for m in peak}
+        gc = {m: (0, 0) for m in peak}
         for _ in range(rounds):
             for m in peak:
                 r = subprocess.run(
@@ -962,9 +983,13 @@ def main():
                 run = json.loads(r.stdout.strip().splitlines()[-1])
                 peak[m] = max(peak[m], run["peak_rss_mb"])
                 sec[m] = min(sec[m], run["sec"])
+                gc[m] = (max(gc[m][0], run.get("gc_collections", 0)),
+                         max(gc[m][1], run.get("gc_ms", 0)))
         for m in peak:
             out[f"peak_rss_mb_{m}"] = peak[m]
             out[f"sec_{m}"] = sec[m]
+            out[f"gc_collections_{m}"] = gc[m][0]
+            out[f"gc_ms_{m}"] = gc[m][1]
         print(json.dumps(out))
         return
 
