@@ -83,6 +83,59 @@ def test_ima_adpcm_truncated_tail(speechish):
         assert np.array_equal(vec, ref), cut
 
 
+def test_ima_adpcm_fuzz_vectorized_equals_reference():
+    """Hypothesis arm: the vectorized decoder must equal the per-sample
+    reference on ARBITRARY byte streams (not just encoder outputs) --
+    garbage headers, out-of-range step indices, truncated tails -- for
+    random block sizes and both channel layouts (stereo on whole
+    blocks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def stream(draw):
+        block = draw(st.sampled_from([16, 64, 256, 1024]))
+        channels = draw(st.sampled_from([1, 2]))
+        n_blocks = draw(st.integers(min_value=0, max_value=4))
+        seed = draw(st.integers(min_value=0, max_value=2**31))
+        rng = np.random.default_rng(seed)
+        n = n_blocks * block
+        if channels == 1:  # mono may truncate mid-block
+            n = max(0, n - draw(st.integers(min_value=0, max_value=block)))
+        return bytes(rng.integers(0, 256, n, dtype=np.uint8)), block, channels
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(stream())
+    def check(s):
+        data, block, channels = s
+        vec = codecs.ima_adpcm_decode(data, block_align=block,
+                                      channels=channels)
+        ref = codecs.ima_adpcm_decode_reference(data, block_align=block,
+                                                channels=channels)
+        assert np.array_equal(vec, ref), (len(data), block, channels)
+
+    check()
+
+
+def test_g711_decoders_total_on_all_bytes():
+    """Every byte value decodes (total functions, no traps) and encode is
+    the decoder's right-inverse on its own output for all 256 codes."""
+    all_bytes = bytes(range(256))
+    mu = codecs.mulaw_decode(all_bytes)
+    al = codecs.alaw_decode(all_bytes)
+    assert len(mu) == len(al) == 256
+    # byte-level inverse everywhere except negative zero (0x7F decodes to
+    # 0, which canonically re-encodes as +0 = 0xFF -- ITU behavior)
+    enc = np.frombuffer(codecs.mulaw_encode(mu), np.uint8)
+    orig = np.frombuffer(all_bytes, np.uint8)
+    diff = np.nonzero(enc != orig)[0]
+    assert list(diff) == [0x7F] and enc[0x7F] == 0xFF, diff
+    # value-level inverse holds for every code in both codecs
+    assert np.array_equal(codecs.mulaw_decode(codecs.mulaw_encode(mu)), mu)
+    assert np.array_equal(codecs.alaw_decode(codecs.alaw_encode(al)), al)
+
+
 def _wav(tag: int, payload: bytes, block_align: int = 256,
          channels: int = 1) -> bytes:
     fmt = (tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
