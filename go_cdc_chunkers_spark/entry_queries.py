@@ -2118,6 +2118,100 @@ ORDER BY a, b
 """
 
 
+def image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free PNG decode (operators/png.py), engine-vs-engine:
+    five images -- one per supported color type (gray / RGB / palette /
+    gray+alpha / RGBA) -- have every pixel defined by a closed form over
+    (x, y), are encoded driver-side with the scanline filter CYCLING
+    row%5 (so all five spec filters are exercised), and Spark decodes the
+    actual PNG bytes through the real png_pixels path inside mapInPandas.
+    The DuckDB oracle never sees the bytes: it regenerates the expected
+    pixel relation from the same closed forms with generate_series. A
+    value-hash match certifies inflate + unfilter + palette/alpha
+    expansion pixel for pixel against an independent derivation."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import png as png_ops
+
+    imgs = []
+    y, x = np.mgrid[0:48, 0:64]
+    imgs.append(("g0", png_ops.png_encode(
+        ((x * 7 + y * 13 + 29) % 256).astype(np.uint8), 0)))
+    y, x = np.mgrid[0:50, 0:80]
+    imgs.append(("rgb1", png_ops.png_encode(np.stack([
+        (x * 3 + y * 5 + 1) % 256, (x * 11 + y * 2 + 7) % 256,
+        (x + y * 17 + 3) % 256], axis=-1).astype(np.uint8), 2)))
+    y, x = np.mgrid[0:48, 0:48]
+    pidx = np.arange(16)
+    pal = np.stack([(pidx * 37 + 11) % 256, (pidx * 59 + 23) % 256,
+                    (pidx * 83 + 5) % 256], axis=-1).astype(np.uint8)
+    imgs.append(("pal2", png_ops.png_encode(
+        ((x * 5 + y * 3) % 16).astype(np.uint8), 3, palette=pal)))
+    y, x = np.mgrid[0:40, 0:56]
+    imgs.append(("ga3", png_ops.png_encode(np.stack([
+        (x * 9 + y * 4 + 2) % 256, (x + y * 6 + 128) % 256],
+        axis=-1).astype(np.uint8), 4)))
+    y, x = np.mgrid[0:44, 0:72]
+    imgs.append(("rgba4", png_ops.png_encode(np.stack([
+        (x * 2 + y * 19 + 4) % 256, (x * 13 + y + 9) % 256,
+        (x * 7 + y * 7 + 100) % 256, (x * 3 + y * 11 + 50) % 256],
+        axis=-1).astype(np.uint8), 6)))
+
+    df = spark.createDataFrame([(i, bytearray(b)) for i, b in imgs],
+                               "img_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for iid, raw in zip(pdf["img_id"], pdf["bytes"]):
+                px = png_ops.png_pixels(bytes(raw))
+                h, w = px.shape[0], px.shape[1]
+                yy, xx = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame({
+                    "img_id": iid,
+                    "y": yy.ravel().astype(np.int32),
+                    "x": xx.ravel().astype(np.int32),
+                    "r": px[:, :, 0].ravel().astype(np.int32),
+                    "g": px[:, :, 1].ravel().astype(np.int32),
+                    "b": px[:, :, 2].ravel().astype(np.int32),
+                    "a": px[:, :, 3].ravel().astype(np.int32),
+                })
+
+    return df.mapInPandas(
+        gen, "img_id string, y int, x int, r int, g int, b int, a int"
+    ).orderBy("img_id", "y", "x")
+
+
+def _png_img_sql(img_id: str, w: int, h: int, r: str, g: str, b: str,
+                 a: str = "255") -> str:
+    """One closed-form pixel relation; r/g/b/a are SQL expressions over
+    x.g / y.g (the generate_series columns)."""
+    return f"""
+SELECT '{img_id}' AS img_id, CAST(y.g AS INT) AS y, CAST(x.g AS INT) AS x,
+       CAST({r} AS INT) AS r, CAST({g} AS INT) AS g,
+       CAST({b} AS INT) AS b, CAST({a} AS INT) AS a
+FROM generate_series(0, {h - 1}) y(g), generate_series(0, {w - 1}) x(g)"""
+
+
+IMAGE_PNG_SQL = (
+    _png_img_sql("g0", 64, 48, "(x.g*7+y.g*13+29)%256",
+                 "(x.g*7+y.g*13+29)%256", "(x.g*7+y.g*13+29)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "rgb1", 80, 50, "(x.g*3+y.g*5+1)%256", "(x.g*11+y.g*2+7)%256",
+        "(x.g+y.g*17+3)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "pal2", 48, 48, "(((x.g*5+y.g*3)%16)*37+11)%256",
+        "(((x.g*5+y.g*3)%16)*59+23)%256", "(((x.g*5+y.g*3)%16)*83+5)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "ga3", 56, 40, "(x.g*9+y.g*4+2)%256", "(x.g*9+y.g*4+2)%256",
+        "(x.g*9+y.g*4+2)%256", "(x.g+y.g*6+128)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "rgba4", 72, 44, "(x.g*2+y.g*19+4)%256", "(x.g*13+y.g+9)%256",
+        "(x.g*7+y.g*7+100)%256", "(x.g*3+y.g*11+50)%256")
+    + "\nORDER BY img_id, y, x"
+)
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -2140,6 +2234,7 @@ QUERIES = {
     "audio_fp_neardup": audio_fp_neardup,
     "audio_fp_incremental": audio_fp_incremental,
     "audio_mulaw_decode": audio_mulaw_decode,
+    "image_png_decode": image_png_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
@@ -2195,6 +2290,7 @@ ORACLES = {
     "audio_fp_neardup": AUDIO_FP_SQL,
     "audio_fp_incremental": AUDIO_FP_INC_SQL,
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
+    "image_png_decode": IMAGE_PNG_SQL,
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,

@@ -254,9 +254,14 @@ def decode_image(raw: bytes) -> np.ndarray:
         return _decode_ppm(raw)
     if raw[0:2] == b"BM":
         return _decode_bmp(raw)
+    if raw.startswith(b"\x89PNG\r\n\x1a\n"):
+        from .png import png_pixels  # stdlib-zlib decoder, no codec libs
+
+        return png_pixels(raw)[:, :, :3]  # RGBA -> RGB for the feature path
     raise NotImplementedError(
-        "image decode for compressed formats requires PIL/opencv (not in "
-        "this image); PPM P6 and 24-bit BMP are decoded for real"
+        "image decode for JPEG requires PIL/opencv (not in this image); "
+        "PPM P6, 24-bit BMP and 8-bit PNG (gray/RGB/palette/alpha) are "
+        "decoded for real"
     )
 
 

@@ -1,0 +1,249 @@
+"""Dependency-free PNG codec (stdlib ``zlib`` + numpy unfiltering).
+
+The reference's corpus tooling chunks arbitrary file trees
+(``/root/reference/cmd/cdc/stats.go:158-171``) -- real corpora are full
+of PNGs -- and this repo's multimodal image stage previously raised at
+the PNG decode point because no codec library ships in this image. PNG,
+however, needs only DEFLATE (stdlib ``zlib``) plus the five scanline
+filters from the public spec (RFC 2083 / W3C PNG): this module decodes
+8-bit-depth grayscale (color type 0), RGB (2), palette (3), gray+alpha
+(4) and RGBA (6) images for real, with chunk-CRC verification.
+
+Honest limits (raise, never guess): Adam7 interlace, bit depths other
+than 8, and palette transparency (tRNS) are rejected with
+``NotImplementedError``; malformed structure raises ``ValueError``.
+
+``png_encode`` is the inverse (used for round-trip oracles and as a real
+sink face); its ``filter_mode="cycle"`` applies scanline filter
+``row % 5`` so every filter type is exercised by a single image.
+Correctness is certified two independent ways: a per-byte naive
+unfilter differential in ``tests/test_png.py`` (the ``cdc/naive.py``
+pattern) and the ``image_png_decode`` driver query, where DuckDB
+regenerates the expected pixel relation from a closed form and the
+value hash must match Spark's decode of the actual PNG bytes.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(raw: bytes) -> list[tuple[bytes, bytes]]:
+    """Parse the chunk stream after the 8-byte signature, verifying each
+    chunk's CRC32 (over type+data, per spec)."""
+    out, pos = [], 8
+    while pos + 12 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        typ = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("png: truncated chunk")
+        crc = int.from_bytes(raw[pos + 8 + ln:pos + 12 + ln], "big")
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"png: CRC mismatch in {typ!r}")
+        out.append((typ, data))
+        pos += 12 + ln
+        if typ == b"IEND":
+            return out
+    raise ValueError("png: missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (spec section 6.6): nearest of a/b/c to a+b-c,
+    ties broken a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(arr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct scanlines from (h, 1+stride) filter-byte-prefixed rows.
+    Filters None/Up are whole-row vectorized; Sub is a per-lane cumsum
+    (recon[i] = filt[i] + recon[i-bpp] telescopes to a running sum mod
+    256 within each byte lane); Average/Paeth genuinely recurse on the
+    just-reconstructed left neighbor, so those rows fall back to a
+    per-byte loop -- bounded by one scanline, not the image."""
+    h = arr.shape[0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int32)
+        prev = recon[y - 1].astype(np.int32) if y else zero_prev
+        if f == 0:
+            line = cur
+        elif f == 1:
+            lanes = cur.reshape(-1, bpp)
+            line = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif f == 2:
+            line = (cur + prev) % 256
+        elif f == 3:
+            line = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (cur[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:
+            line = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (cur[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"png: unknown scanline filter {f}")
+        recon[y] = line.astype(np.uint8)
+    return recon
+
+
+def png_pixels(raw: bytes) -> np.ndarray:
+    """Decode a PNG to canonical HxWx4 RGBA uint8.
+
+    Gray expands to r=g=b=v; palette indexes PLTE; missing alpha is 255.
+    """
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("png: bad signature")
+    chunks = _chunks(raw)
+    typ, ihdr = chunks[0]
+    if typ != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("png: first chunk must be 13-byte IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if w <= 0 or h <= 0:
+        raise ValueError("png: nonpositive dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if interlace == 1:
+        raise NotImplementedError("png: Adam7 interlace not supported")
+    if interlace != 0:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    if depth != 8:
+        raise NotImplementedError(f"png: only bit depth 8 (got {depth})")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {ctype}")
+    if any(t == b"tRNS" for t, _ in chunks):
+        raise NotImplementedError("png: tRNS palette transparency not supported")
+
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    idat = b"".join(d for t, d in chunks if t == b"IDAT")
+    if not idat:
+        raise ValueError("png: no IDAT data")
+    scan = zlib.decompress(idat)
+    if len(scan) != h * (stride + 1):
+        raise ValueError(
+            f"png: scanline bytes {len(scan)} != h*(1+stride) {h * (stride + 1)}")
+    arr = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
+    px = _unfilter(arr, stride, nch).reshape(h, w, nch)
+
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if ctype == 0:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = px[:, :, 0]
+        out[:, :, 3] = 255
+    elif ctype == 2:
+        out[:, :, :3] = px
+        out[:, :, 3] = 255
+    elif ctype == 3:
+        plte = [d for t, d in chunks if t == b"PLTE"]
+        if len(plte) != 1 or len(plte[0]) % 3 != 0 or not plte[0]:
+            raise ValueError("png: palette image needs exactly one valid PLTE")
+        pal = np.frombuffer(plte[0], dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("png: palette index out of range")
+        out[:, :, :3] = pal[idx]
+        out[:, :, 3] = 255
+    elif ctype == 4:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = px[:, :, 0]
+        out[:, :, 3] = px[:, :, 1]
+    else:  # 6
+        out[:, :] = px
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _filter_row(cur: np.ndarray, prev: np.ndarray, f: int, bpp: int) -> np.ndarray:
+    """Forward scanline filter over RECONSTRUCTED rows (encoder side:
+    a/b/c neighbors come from the original data, so this is closed-form
+    per row -- no recursion)."""
+    cur = cur.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+    if f == 0:
+        out = cur
+    elif f == 1:
+        out = cur - left
+    elif f == 2:
+        out = cur - prev
+    elif f == 3:
+        out = cur - (left + prev) // 2
+    elif f == 4:
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prev, upleft))
+        out = cur - pred
+    else:
+        raise ValueError(f"png: filter {f}")
+    return (out % 256).astype(np.uint8)
+
+
+def png_encode(img: np.ndarray, ctype: int, palette: np.ndarray | None = None,
+               filter_mode: str = "cycle") -> bytes:
+    """Encode uint8 pixel data as a PNG (bit depth 8, no interlace).
+
+    img shape by color type: 0/3 -> HxW (gray value / palette index),
+    4 -> HxWx2, 2 -> HxWx3, 6 -> HxWx4. filter_mode: "cycle" applies
+    scanline filter row%5 (exercises every filter type); "none" uses
+    filter 0 throughout.
+    """
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {ctype}")
+    nch = _PNG_CHANNELS[ctype]
+    img = np.asarray(img, dtype=np.uint8)
+    if nch == 1 and img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] != nch:
+        raise ValueError(f"png: color type {ctype} wants {nch} channel(s)")
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h, w * nch)
+
+    rows = bytearray()
+    zero = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        f = (y % 5) if filter_mode == "cycle" else 0
+        prev = flat[y - 1] if y else zero
+        rows.append(f)
+        rows += _filter_row(flat[y], prev, f, nch).tobytes()
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    body = _chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("png: palette image needs a palette")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= pal.shape[0] <= 256):
+            raise ValueError("png: palette must be Nx3, 1<=N<=256")
+        if int(img.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("png: palette index out of range")
+        body += _chunk(b"PLTE", pal.tobytes())
+    body += _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+    body += _chunk(b"IEND", b"")
+    return _PNG_SIG + body

@@ -1,0 +1,224 @@
+"""PNG codec differential tests (no Spark needed).
+
+Two independent certifications, mirroring the repo's cdc/naive.py
+pattern: (1) a per-byte naive unfilter written straight from the spec
+pseudocode (RFC 2083 section 6) checks the vectorized decoder on
+hand-assembled PNGs that bypass png_encode entirely; (2) seeded
+round-trips through png_encode exercise every color type x filter
+combination. Error paths assert the honest-raise contract.
+"""
+import zlib
+
+import numpy as np
+import pytest
+
+from go_cdc_chunkers_spark.operators import png as P
+from go_cdc_chunkers_spark.operators.multimodal import decode_image
+
+
+# ---------------------------------------------------------------------------
+# Naive reference: spec pseudocode, one byte at a time
+# ---------------------------------------------------------------------------
+
+def naive_unfilter(scan: bytes, h: int, stride: int, bpp: int) -> bytes:
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        f = scan[pos]
+        pos += 1
+        for i in range(stride):
+            x = scan[pos + i]
+            a = out[y * stride + i - bpp] if i >= bpp else 0
+            b = out[(y - 1) * stride + i] if y > 0 else 0
+            c = out[(y - 1) * stride + i - bpp] if (y > 0 and i >= bpp) else 0
+            if f == 0:
+                r = x
+            elif f == 1:
+                r = x + a
+            elif f == 2:
+                r = x + b
+            elif f == 3:
+                r = x + (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = x + pred
+            else:
+                raise ValueError(f)
+            out[y * stride + i] = r & 0xFF
+        pos += stride
+    return bytes(out)
+
+
+def hand_png(scanlines: bytes, w: int, h: int, ctype: int,
+             palette: bytes | None = None) -> bytes:
+    """Assemble a PNG from raw (filter-byte-prefixed) scanlines without
+    going through png_encode -- keeps the decoder test independent."""
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    body = P._chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += P._chunk(b"PLTE", palette)
+    body += P._chunk(b"IDAT", zlib.compress(scanlines))
+    body += P._chunk(b"IEND", b"")
+    return P._PNG_SIG + body
+
+
+@pytest.mark.parametrize("ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_decode_matches_naive_unfilter(ctype, nch, filt):
+    rng = np.random.default_rng(1000 + ctype * 10 + filt)
+    w, h = 13, 9
+    stride = w * nch
+    scan = bytearray()
+    for _ in range(h):
+        scan.append(filt)
+        scan += bytes(rng.integers(0, 256, stride, dtype=np.uint8))
+    raw = hand_png(bytes(scan), w, h, ctype)
+    got = P.png_pixels(raw)
+    exp_flat = np.frombuffer(
+        naive_unfilter(bytes(scan), h, stride, nch), dtype=np.uint8
+    ).reshape(h, w, nch)
+    if ctype == 0:
+        assert (got[:, :, 0] == exp_flat[:, :, 0]).all()
+        assert (got[:, :, 1] == exp_flat[:, :, 0]).all()
+        assert (got[:, :, 3] == 255).all()
+    elif ctype == 2:
+        assert (got[:, :, :3] == exp_flat).all()
+        assert (got[:, :, 3] == 255).all()
+    elif ctype == 4:
+        assert (got[:, :, 0] == exp_flat[:, :, 0]).all()
+        assert (got[:, :, 3] == exp_flat[:, :, 1]).all()
+    else:
+        assert (got == exp_flat).all()
+
+
+def test_decode_mixed_filters_matches_naive():
+    rng = np.random.default_rng(77)
+    w, h, nch = 21, 17, 3
+    stride = w * nch
+    scan = bytearray()
+    for y in range(h):
+        scan.append(int(rng.integers(0, 5)))
+        scan += bytes(rng.integers(0, 256, stride, dtype=np.uint8))
+    got = P.png_pixels(hand_png(bytes(scan), w, h, 2))
+    exp = np.frombuffer(naive_unfilter(bytes(scan), h, stride, nch),
+                        dtype=np.uint8).reshape(h, w, nch)
+    assert (got[:, :, :3] == exp).all()
+
+
+def test_palette_decode_matches_naive():
+    rng = np.random.default_rng(5)
+    w, h, npal = 11, 7, 16
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    # filter 0 rows only: filters 1-4 would reconstruct arbitrary bytes
+    # that escape the palette (those filters are covered by the other
+    # color types; palette round-trips cover them via png_encode).
+    scan = bytearray()
+    for _ in range(h):
+        scan.append(0)
+        scan += bytes(rng.integers(0, npal, w, dtype=np.uint8))
+    got = P.png_pixels(hand_png(bytes(scan), w, h, 3, palette=pal.tobytes()))
+    idx = np.frombuffer(naive_unfilter(bytes(scan), h, w, 1),
+                        dtype=np.uint8).reshape(h, w)
+    assert (got[:, :, :3] == pal[idx]).all()
+    assert (got[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("ctype", [0, 2, 3, 4, 6])
+@pytest.mark.parametrize("mode", ["none", "cycle"])
+def test_roundtrip_all_types(ctype, mode):
+    rng = np.random.default_rng(42 + ctype)
+    w, h = 37, 23
+    pal = None
+    if ctype == 3:
+        pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+        img = rng.integers(0, 32, (h, w), dtype=np.uint8)
+    elif ctype == 0:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    else:
+        nch = P._PNG_CHANNELS[ctype]
+        img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+    raw = P.png_encode(img, ctype, palette=pal, filter_mode=mode)
+    got = P.png_pixels(raw)
+    assert got.shape == (h, w, 4)
+    if ctype == 0:
+        assert (got[:, :, 0] == img).all() and (got[:, :, 3] == 255).all()
+    elif ctype == 2:
+        assert (got[:, :, :3] == img).all()
+    elif ctype == 3:
+        assert (got[:, :, :3] == pal[img]).all()
+    elif ctype == 4:
+        assert (got[:, :, 0] == img[:, :, 0]).all()
+        assert (got[:, :, 3] == img[:, :, 1]).all()
+    else:
+        assert (got == img).all()
+
+
+def test_decode_image_returns_rgb():
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    rgb = decode_image(P.png_encode(img, 2))
+    assert rgb.shape == (5, 4, 3)
+    assert (rgb == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Honest-raise contract
+# ---------------------------------------------------------------------------
+
+def _ihdr_png(depth=8, ctype=2, interlace=0, w=3, h=2):
+    nch = P._PNG_CHANNELS.get(ctype, 3)
+    scan = bytes([0] + [1] * (w * nch)) * h
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace]))
+    return (P._PNG_SIG + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(scan)) + P._chunk(b"IEND", b""))
+
+
+def test_interlace_raises():
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        P.png_pixels(_ihdr_png(interlace=1))
+
+
+def test_depth16_raises():
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        P.png_pixels(_ihdr_png(depth=16))
+
+
+def test_trns_raises():
+    img = np.zeros((2, 3), dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    raw = P.png_encode(img, 3, palette=pal)
+    # splice a tRNS chunk before IEND
+    iend = P._chunk(b"IEND", b"")
+    assert raw.endswith(iend)
+    spliced = raw[: -len(iend)] + P._chunk(b"tRNS", b"\x00") + iend
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        P.png_pixels(spliced)
+
+
+def test_crc_corruption_raises():
+    raw = bytearray(P.png_encode(np.zeros((2, 3, 3), dtype=np.uint8), 2))
+    idat = raw.find(b"IDAT")
+    raw[idat + 6] ^= 0xFF  # flip a data byte, CRC now stale
+    with pytest.raises(ValueError, match="CRC"):
+        P.png_pixels(bytes(raw))
+
+
+def test_truncated_raises():
+    raw = P.png_encode(np.zeros((4, 4, 3), dtype=np.uint8), 2)
+    with pytest.raises(ValueError):
+        P.png_pixels(raw[: len(raw) - 20])
+
+
+def test_palette_index_out_of_range_raises():
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    scan = bytes([0, 0, 1, 3])  # index 3 >= palette size 2
+    raw = hand_png(scan, 3, 1, 3, palette=pal.tobytes())
+    with pytest.raises(ValueError, match="palette index"):
+        P.png_pixels(raw)
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        P.png_pixels(b"JFIF....")

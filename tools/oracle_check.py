@@ -3,7 +3,10 @@
 DuckDB exactly (the driver does this at sf0.01; this catches scale-dependent
 drift at other sfs before it ships). Usage:
 
-    python tools/oracle_check.py [/root/testdata/sf0.1]
+    python tools/oracle_check.py [/root/testdata/sf0.1] [name_substring]
+
+An optional second arg filters to queries whose name contains the
+substring (fast single-query iteration while developing an oracle).
 """
 
 from __future__ import annotations
@@ -42,8 +45,11 @@ def main() -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
     failures = 0
     for name in sorted(em.oracle_sql()):
+        if only and only not in name:
+            continue
         try:
             sdf = em.queries()[name](spark, sf_dir)
             cols = sdf.columns
