@@ -1802,6 +1802,204 @@ FROM d ORDER BY clip_id, idx
 """
 
 
+def audio_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law decode, engine-vs-engine (the audio_mulaw_decode
+    pattern): clips companded to A-law driver-side, bytes materialized as
+    (clip_id, idx, byte), Spark decodes the BINARY payloads through the
+    production codec path, and the DuckDB oracle expands the SAME bytes
+    with the ITU closed form (xor 0x55, segmented expansion) in pure SQL.
+    Value-hash match = the numpy decoder certified sample for sample
+    against an independent implementation of the standard."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import _decode_pcm_batch
+
+    rows, _ = clips_src.generate_clips(
+        n_base=4, dup_frac=0.0, near_frac=0.0, n_const=0, seed=77,
+        min_ms=150, max_ms=400)
+    enc = [(r["clip_id"],
+            codecs.alaw_encode(np.frombuffer(r["bytes"], dtype="<i2")))
+           for r in rows]
+    byte_pdf = pd.concat([
+        pd.DataFrame({
+            "clip_id": cid,
+            "idx": np.arange(len(b), dtype=np.int64),
+            "byte": np.frombuffer(b, dtype=np.uint8).astype(np.int32),
+        }) for cid, b in enc
+    ])
+    _materialize(spark, spark.createDataFrame(byte_pdf), "alaw_bytes")
+
+    clips = spark.createDataFrame(
+        [(cid, bytearray(b)) for cid, b in enc], "clip_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                pcm = _decode_pcm_batch(bytes(raw), "pcm_alaw")
+                yield pd.DataFrame({
+                    "clip_id": cid,
+                    "idx": np.arange(len(pcm), dtype=np.int64),
+                    "sample": pcm.astype(np.int32),
+                })
+
+    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
+            .orderBy("clip_id", "idx"))
+
+
+AUDIO_ALAW_SQL = f"""
+WITH b AS (SELECT * FROM {_mat('alaw_bytes')}),
+u AS (SELECT clip_id, idx, xor(byte, 85) AS u FROM b),
+d AS (SELECT clip_id, idx, u & 128 AS sgn, (u >> 4) & 7 AS e, u & 15 AS m
+      FROM u),
+x AS (SELECT clip_id, idx, sgn,
+             CASE WHEN e = 0 THEN m * 16 + 8
+                  ELSE (m * 16 + 264) * (1 << (e - 1)) END AS mag
+      FROM d)
+SELECT clip_id, idx,
+       CAST(CASE WHEN sgn <> 0 THEN mag ELSE -mag END AS INT) AS sample
+FROM x ORDER BY clip_id, idx
+"""
+
+
+def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM decode through the PRODUCTION WAV container path,
+    engine-vs-engine: deterministic PCM (one mono clip, one stereo clip)
+    is ADPCM-encoded driver-side, wrapped in RIFF/WAVE with fmt tag 0x11
+    (including the wSamplesPerBlock extension and a fact chunk), and
+    Spark decodes the WAV bytes via _decode_pcm_batch -- RIFF walk, fmt
+    validation, block-lane-vectorized state machine, fact trim. The
+    DuckDB oracle sees only the raw ADPCM payload bytes as (clip_id, idx,
+    byte) plus (block_align, channels) params and REPLAYS the IMA state
+    machine relationally: header unpack, WAV nibble framing (stereo
+    4-byte channel groups, low nibble first) as index arithmetic, and
+    the sequential predictor/step-index recursion as a recursive CTE in
+    lockstep over (clip, block, channel) lanes. Only the public IMA step
+    tables are shared; the decode logic is fully independent."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import codecs
+    from .operators.multimodal import _decode_pcm_batch
+
+    rows, _ = clips_src.generate_clips(
+        n_base=2, dup_frac=0.0, near_frac=0.0, n_const=0, seed=88,
+        min_ms=300, max_ms=500)
+    specs = []
+    # mono: 3 whole blocks (505 samples each at block_align 256)
+    pcm_m = np.frombuffer(rows[0]["bytes"], dtype="<i2")[: 3 * 505]
+    specs.append(("adpcm_mono", pcm_m, 1))
+    # stereo: 4 whole blocks (249 samples/ch at block_align 256)
+    pcm_s = np.frombuffer(rows[1]["bytes"], dtype="<i2")[: 2 * 4 * 249]
+    specs.append(("adpcm_stereo", pcm_s, 2))
+
+    enc, wavs, params = [], [], []
+    for cid, pcm, ch in specs:
+        payload = codecs.ima_adpcm_encode(pcm, 256, channels=ch)
+        spb = (256 - 4 * ch) * 2 // ch + 1
+        wavs.append((cid, bytearray(codecs.wav_wrap(
+            payload, 0x11, channels=ch, block_align=256, bits=4,
+            wspb=spb, fact_samples=len(pcm) // ch))))
+        enc.append((cid, payload))
+        params.append((cid, 256, ch))
+    byte_pdf = pd.concat([
+        pd.DataFrame({
+            "clip_id": cid,
+            "idx": np.arange(len(b), dtype=np.int64),
+            "byte": np.frombuffer(b, dtype=np.uint8).astype(np.int32),
+        }) for cid, b in enc
+    ])
+    _materialize(spark, spark.createDataFrame(byte_pdf), "adpcm_bytes")
+    _materialize(spark, spark.createDataFrame(
+        params, "clip_id string, ba int, c int"), "adpcm_params")
+
+    clips = spark.createDataFrame(wavs, "clip_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                pcm = _decode_pcm_batch(bytes(raw), "wav")
+                yield pd.DataFrame({
+                    "clip_id": cid,
+                    "idx": np.arange(len(pcm), dtype=np.int64),
+                    "sample": pcm.astype(np.int32),
+                })
+
+    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
+            .orderBy("clip_id", "idx"))
+
+
+def _adpcm_sql() -> str:
+    """Recursive-CTE replay of the IMA ADPCM state machine. The step /
+    index-delta tables are public spec data (shared with the decoder the
+    way Gear tables are shared); everything else -- framing arithmetic,
+    the per-step diff formula, clipping, recursion -- is derived
+    independently in SQL."""
+    from .operators.codecs import IMA_INDEX_TABLE, IMA_STEP_TABLE
+
+    steps = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(IMA_STEP_TABLE))
+    deltas = ", ".join(f"({c}, {int(d)})" for c, d in enumerate(IMA_INDEX_TABLE))
+    return f"""
+WITH RECURSIVE
+step_tab(i, s) AS (VALUES {steps}),
+idx_tab(cd, dlt) AS (VALUES {deltas}),
+par AS (SELECT clip_id, ba, c, (ba - 4 * c) * 2 // c + 1 AS spb
+        FROM {_mat('adpcm_params')}),
+bb AS (SELECT b.clip_id, par.ba, par.c, par.spb,
+              b.idx // par.ba AS blk, b.idx % par.ba AS p, b.byte
+       FROM {_mat('adpcm_bytes')} b JOIN par ON par.clip_id = b.clip_id),
+hdr AS (
+  SELECT clip_id, blk, CAST(p // 4 AS INT) AS ch,
+         sum(CASE WHEN p % 4 = 0 THEN byte ELSE 0 END) AS lo,
+         sum(CASE WHEN p % 4 = 1 THEN byte ELSE 0 END) AS hi,
+         sum(CASE WHEN p % 4 = 2 THEN byte ELSE 0 END) AS i0
+  FROM bb WHERE p < 4 * c GROUP BY 1, 2, 3
+),
+nibsrc AS (
+  SELECT clip_id, blk,
+         CASE WHEN c = 1 THEN 0
+              ELSE CAST(((p - 4 * c) % 8) // 4 AS INT) END AS ch,
+         CASE WHEN c = 1 THEN p - 4
+              ELSE ((p - 4 * c) // 8) * 4 + (p - 4 * c) % 4 END AS bpos,
+         byte
+  FROM bb WHERE p >= 4 * c
+),
+nib AS (
+  SELECT clip_id, blk, ch, 2 * bpos + t.k AS j,
+         CASE WHEN t.k = 0 THEN byte % 16 ELSE byte // 16 END AS code
+  FROM nibsrc, (VALUES (0), (1)) t(k)
+),
+st(clip_id, blk, ch, j, pred, ind) AS (
+  SELECT clip_id, blk, ch,
+         0,
+         CASE WHEN lo + hi * 256 >= 32768 THEN lo + hi * 256 - 65536
+              ELSE lo + hi * 256 END,
+         least(greatest(i0, 0), 88)
+  FROM hdr
+  UNION ALL
+  SELECT st.clip_id, st.blk, st.ch, st.j + 1,
+         greatest(-32768, least(32767, st.pred
+           + (CASE WHEN nib.code >= 8 THEN -1 ELSE 1 END)
+           * (step_tab.s // 8
+              + CASE WHEN nib.code & 4 <> 0 THEN step_tab.s ELSE 0 END
+              + CASE WHEN nib.code & 2 <> 0 THEN step_tab.s // 2 ELSE 0 END
+              + CASE WHEN nib.code & 1 <> 0 THEN step_tab.s // 4 ELSE 0 END))),
+         least(88, greatest(0, st.ind + idx_tab.dlt))
+  FROM st
+  JOIN nib ON nib.clip_id = st.clip_id AND nib.blk = st.blk
+          AND nib.ch = st.ch AND nib.j = st.j
+  JOIN step_tab ON step_tab.i = st.ind
+  JOIN idx_tab ON idx_tab.cd = nib.code % 8
+)
+SELECT st.clip_id,
+       CAST((st.blk * par.spb + st.j) * par.c + st.ch AS BIGINT) AS idx,
+       CAST(st.pred AS INT) AS sample
+FROM st JOIN par ON par.clip_id = st.clip_id
+ORDER BY st.clip_id, idx
+"""
+
+
 def audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DELTA-BOUNDED spectral matcher (streaming/lambda_arch.py's
     incremental channel): treat the chord fixture's variant clips with
@@ -2235,6 +2433,8 @@ QUERIES = {
     "audio_fp_incremental": audio_fp_incremental,
     "audio_mulaw_decode": audio_mulaw_decode,
     "image_png_decode": image_png_decode,
+    "audio_alaw_decode": audio_alaw_decode,
+    "audio_adpcm_decode": audio_adpcm_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
@@ -2291,6 +2491,8 @@ ORACLES = {
     "audio_fp_incremental": AUDIO_FP_INC_SQL,
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
     "image_png_decode": IMAGE_PNG_SQL,
+    "audio_alaw_decode": AUDIO_ALAW_SQL,
+    "audio_adpcm_decode": _adpcm_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,

@@ -257,6 +257,30 @@ def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256,
     return bytes(out)
 
 
+def wav_wrap(payload: bytes, tag: int, channels: int, block_align: int,
+             sample_rate: int = 8000, bits: int = 16,
+             wspb: int | None = None, fact_samples: int | None = None) -> bytes:
+    """Wrap an encoded payload in a minimal RIFF/WAVE container (the sink
+    half of _decode_wav's parser). For compressed tags, pass ``wspb``
+    (samples per block -> fmt extension, cbSize=2) and ``fact_samples``
+    (per-channel decoded sample count -> fact chunk), both of which the
+    decoder honors per spec."""
+    fmt = (tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * channels * max(bits, 8) // 8).to_bytes(4, "little")
+           + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    if wspb is not None:
+        fmt += (2).to_bytes(2, "little") + wspb.to_bytes(2, "little")
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if fact_samples is not None:
+        chunks += b"fact" + (4).to_bytes(4, "little") \
+            + fact_samples.to_bytes(4, "little")
+    chunks += b"data" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def ima_adpcm_decode_reference(data: bytes, block_align: int = 256,
                                channels: int = 1) -> np.ndarray:
     """Per-sample pure-Python IMA ADPCM decoder: the differential oracle

@@ -34,6 +34,7 @@ def _decode_wav(raw: bytes) -> np.ndarray:
         raise ValueError("not a RIFF/WAVE stream")
     pos, tag, data = 12, None, None
     block_align = channels = 0
+    ext_wspb = fact_samples = None
     while pos + 8 <= len(raw):
         cid = raw[pos:pos + 4]
         size = int.from_bytes(raw[pos + 4:pos + 8], "little")
@@ -45,6 +46,13 @@ def _decode_wav(raw: bytes) -> np.ndarray:
             bits = int.from_bytes(body[14:16], "little")
             if tag == 1 and bits != 16:
                 raise NotImplementedError(f"wav: PCM bits={bits} (s16le only)")
+            if len(body) >= 18:
+                cb = int.from_bytes(body[16:18], "little")
+                if cb >= 2 and len(body) >= 20:
+                    ext_wspb = int.from_bytes(body[18:20], "little")
+        elif cid == b"fact":
+            if len(body) >= 4:
+                fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -60,11 +68,26 @@ def _decode_wav(raw: bytes) -> np.ndarray:
     if tag == 7:
         return codecs.mulaw_decode(data)
     if tag == 0x11:
-        if channels not in (0, 1, 2):
+        # decode-for-real-or-raise: a zero channel count or block align is
+        # a malformed fmt chunk, not something to default around
+        if channels == 0 or block_align == 0:
+            raise ValueError(
+                f"wav: malformed IMA ADPCM fmt (channels={channels}, "
+                f"block_align={block_align})")
+        if channels not in (1, 2):
             raise NotImplementedError(
                 f"wav: IMA ADPCM decoded for mono/stereo only ({channels} ch)")
-        return codecs.ima_adpcm_decode(data, block_align or 256,
-                                       channels=max(channels, 1))
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        if ext_wspb is not None and ext_wspb != spb:
+            raise NotImplementedError(
+                f"wav: nonstandard wSamplesPerBlock {ext_wspb} "
+                f"(block_align {block_align} implies {spb})")
+        out = codecs.ima_adpcm_decode(data, block_align, channels=channels)
+        if fact_samples is not None:
+            # fact carries the true per-channel sample count: encoders pad
+            # the final block, so trim the decoded tail to it
+            out = out[: fact_samples * channels]
+        return out
     raise NotImplementedError(
         f"wav: format tag {tag} not decodable here (PCM s16le, G.711 "
         "A-law/mu-law, and mono IMA ADPCM are decoded for real)"

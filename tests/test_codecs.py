@@ -226,3 +226,48 @@ def test_frame_features_codec_equivalence(spark, speechish):
     assert len(pcm) == len(muv) > 10
     rel = max(abs(a - b) / max(a, 1e-9) for a, b in zip(pcm, muv))
     assert rel < 0.05, rel
+
+
+def test_wav_adpcm_malformed_fmt_raises(speechish):
+    """ADVICE r4: channels=0 / block_align=0 are malformed fmt values --
+    raise, never default around them."""
+    ad = codecs.ima_adpcm_encode(speechish, 256)
+    with pytest.raises(ValueError, match="malformed"):
+        _decode_wav(_wav(0x11, ad, block_align=256, channels=0))
+    with pytest.raises(ValueError, match="malformed"):
+        _decode_wav(_wav(0x11, ad, block_align=0, channels=1))
+
+
+def test_wav_adpcm_fact_trims_padded_final_block(speechish):
+    """ADVICE r4: a fact chunk carries the true per-channel sample count;
+    the encoder pads the final block, so decode must trim to it."""
+    n = 505 + 100  # one full mono block (505 samples) + a partial second
+    pcm = speechish[:n]
+    ad = codecs.ima_adpcm_encode(pcm, 256)
+    wav = codecs.wav_wrap(ad, 0x11, channels=1, block_align=256, bits=4,
+                          wspb=505, fact_samples=n)
+    out = _decode_wav(wav)
+    assert len(out) == n
+    assert np.array_equal(out, codecs.ima_adpcm_decode(ad, 256)[:n])
+    # without fact, the trailing partial block decodes to its own length
+    wav_nofact = codecs.wav_wrap(ad, 0x11, channels=1, block_align=256,
+                                 bits=4, wspb=505)
+    assert len(_decode_wav(wav_nofact)) >= n
+
+
+def test_wav_adpcm_nonstandard_wspb_raises(speechish):
+    ad = codecs.ima_adpcm_encode(speechish, 256)
+    wav = codecs.wav_wrap(ad, 0x11, channels=1, block_align=256, bits=4,
+                          wspb=123)  # block_align 256 implies 505
+    with pytest.raises(NotImplementedError, match="wSamplesPerBlock"):
+        _decode_wav(wav)
+
+
+def test_wav_wrap_roundtrips_all_tags(speechish):
+    for tag, enc in ((1, speechish.tobytes()),
+                     (6, codecs.alaw_encode(speechish)),
+                     (7, codecs.mulaw_encode(speechish))):
+        wav = codecs.wav_wrap(enc, tag, channels=1, block_align=2,
+                              bits=16 if tag == 1 else 8)
+        dec = _decode_wav(wav)
+        assert len(dec) == len(speechish)
