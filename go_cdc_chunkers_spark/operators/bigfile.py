@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -212,7 +213,11 @@ def spill_clips_to_files(
     shared-filesystem assumption (every stage parquet already does): the
     range tasks that later seek-read these files run on other executors.
     Deterministic names -> idempotent rewrite on stage resume; one file
-    write per oversized clip, distributed."""
+    write per oversized clip, distributed. Writes go to a per-attempt
+    temp name and os.rename into place (atomic on POSIX): a task retry
+    or a speculative duplicate racing a straggler can never leave a
+    torn/interleaved payload for a later chunk_ranges task to seek-read
+    -- readers only ever observe complete files (ADVICE r4)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def gen(batches):
@@ -223,8 +228,10 @@ def spill_clips_to_files(
                     continue
                 p = os.path.join(
                     out_dir, hashlib.sha256(str(cid).encode()).hexdigest() + ".bin")
-                with open(p, "wb") as f:
+                tmp = f"{p}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "wb") as f:
                     f.write(bytes(raw))
+                os.replace(tmp, p)
                 ids.append(cid)
                 paths.append(p)
                 sizes.append(len(raw))

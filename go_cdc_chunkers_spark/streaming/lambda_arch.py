@@ -79,42 +79,115 @@ def _band_store_step(spark: SparkSession, store_dir: str, batch_id: int,
     corpus-proportional projection the docstring of
     cluster_store_incremental used to carry).
 
-    Replay-safe via a batch registry sidecar (_appended_batches.json):
-    foreachBatch is at-least-once, and a bucketed table append is not
-    naturally idempotent (unlike the batch=<id> directory overwrites), so
-    an already-registered batch id is a no-op. The registry write happens
-    AFTER the append commits; a crash between the two replays the append,
-    which the registry check then prevents from doubling only if the
-    first append did not commit -- the same at-least-once-then-dedupe
-    contract the chunk history uses, here at batch granularity."""
+    Replay-safe, TRULY idempotent (ADVICE r4): foreachBatch is
+    at-least-once and a bucketed table append is not naturally
+    idempotent (unlike the batch=<id> directory overwrites), so three
+    layers close every window:
+
+      1. every band row is stamped with `src_batch`, making appends
+         attributable and the store self-describing;
+      2. an already-registered batch id (_appended_batches.json) is a
+         no-op; the registry is written via temp file + os.replace so a
+         crash can never leave torn JSON that wedges the stream, and
+         unparseable content is REPAIRED from the stamps (the store is
+         authoritative) instead of raising forever;
+      3. for a batch the registry does NOT list (first run, or replay
+         after a crash between append-commit and registry write), the
+         store is probed for this batch's stamps BEFORE appending --
+         restricted to the batch's own band_hash buckets via the same
+         O(batch) left_semi shape the store exists to serve -- so the
+         crash-window replay skips the duplicate append instead of
+         doubling the batch's bands."""
     from ..operators import incremental
 
     path = band_store_path(store_dir)
     reg = os.path.join(path, "_appended_batches.json")
-    done: list[int] = []
-    if os.path.exists(reg):
-        with open(reg) as f:
-            done = json.load(f)
-    if int(batch_id) in done:
-        return
-    # read the batch's signatures back from the directories this sink just
-    # landed (materialized -- no recompute of the minhash aggregates)
-    def sig_of(table: str) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(store_dir, table, f"batch={batch_id}"))
-
-    bands = signatures.lsh_bands(
-        sig_of("sig_pcm"), cfg.bands, cfg.rows_per_band, src="pcm"
-    ).unionByName(signatures.lsh_bands(
-        sig_of("sig_text"), cfg.bands, cfg.rows_per_band, src="text"))
     table = band_store_table_name(store_dir)
     first = not os.path.exists(os.path.join(path, "_store_meta.json"))
     if not first and not spark.catalog.tableExists(table):
         incremental.register_chunk_store(spark, table, path)
-    incremental.write_band_store(bands, table, path, n_buckets=n_buckets,
-                                 mode="overwrite" if first else "append")
-    with open(reg, "w") as f:
-        json.dump(done + [int(batch_id)], f)
+
+    def _write_registry(ids) -> None:
+        tmp = f"{reg}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(sorted(set(int(i) for i in ids)), f)
+        os.replace(tmp, reg)
+
+    done: list[int] = []
+    if os.path.exists(reg):
+        try:
+            with open(reg) as f:
+                done = json.load(f)
+        except (json.JSONDecodeError, ValueError):
+            # torn write from a pre-atomic version or disk fault: rebuild
+            # from the row stamps rather than wedging every future batch,
+            # and PERSIST the repair so the next batch parses cleanly (a
+            # legacy store without stamps degrades to an empty registry
+            # -- the pre-repair best-effort behavior)
+            if not first and "src_batch" in spark.table(table).columns:
+                done = [int(r["src_batch"]) for r in spark.table(table)
+                        .select("src_batch").distinct().collect()]
+            _write_registry(done)
+    if int(batch_id) in done:
+        return
+    # read the batch's signatures back from the directories this sink just
+    # landed (materialized -- no recompute of the minhash aggregates)
+    def sig_of(table_name: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(store_dir, table_name, f"batch={batch_id}"))
+
+    bands = signatures.lsh_bands(
+        sig_of("sig_pcm"), cfg.bands, cfg.rows_per_band, src="pcm"
+    ).unionByName(signatures.lsh_bands(
+        sig_of("sig_text"), cfg.bands, cfg.rows_per_band, src="text"
+    )).withColumn("src_batch", F.lit(int(batch_id)).cast("long"))
+
+    already = False
+    if not first and "src_batch" in spark.table(table).columns:
+        # crash-window probe: O(batch) -- store side is pruned to the
+        # batch's own buckets by the bucketed left_semi before the
+        # src_batch filter runs
+        touched = bands.select("band_hash").distinct()
+        already = bool(
+            spark.table(table)
+            .join(touched, "band_hash", "left_semi")
+            .filter(F.col("src_batch") == int(batch_id))
+            .limit(1).count())
+    if not already:
+        incremental.write_band_store(bands, table, path, n_buckets=n_buckets,
+                                     mode="overwrite" if first else "append")
+    _write_registry(set(done) | {int(batch_id)})
+
+
+def _verify_band_store_coverage(store_dir: str) -> None:
+    """Fail fast when the band store exists but MISSES landed batches
+    (ADVICE r4): a stream that previously ran with band_store=False, or a
+    rebuilt store directory, would otherwise be trusted silently and the
+    touched-bucket scan would drop those batches' bands -- under-clustering
+    with no error. Cheap directory listings: every batch=<id> landed under
+    sig_pcm / sig_text must be registered in _appended_batches.json."""
+    landed: set[int] = set()
+    for sig in ("sig_pcm", "sig_text"):
+        d = os.path.join(store_dir, sig)
+        if os.path.isdir(d):
+            landed |= {int(n.split("=", 1)[1]) for n in os.listdir(d)
+                       if n.startswith("batch=")}
+    reg = os.path.join(band_store_path(store_dir), "_appended_batches.json")
+    done: set[int] = set()
+    if os.path.exists(reg):
+        try:
+            with open(reg) as f:
+                done = set(json.load(f))
+        except (json.JSONDecodeError, ValueError):
+            pass  # treated as empty -> any landed batch raises below
+    missing = sorted(landed - done)
+    if missing:
+        raise ValueError(
+            f"band store at {band_store_path(store_dir)} does not cover "
+            f"landed signature batches {missing} (did an earlier stream "
+            "run use band_store=False, or was the store dir rebuilt?); "
+            "re-run the sink for those batches or cluster with "
+            "use_band_store=False")
 
 
 def _append(df: DataFrame, store_dir: str, table: str, batch_id: int) -> None:
@@ -356,6 +429,7 @@ def cluster_store_incremental(
         # which raises here rather than silently under-clustering).
         from ..operators import incremental
 
+        _verify_band_store_coverage(store_dir)
         table = band_store_table_name(store_dir)
         if not spark.catalog.tableExists(table):
             incremental.register_chunk_store(

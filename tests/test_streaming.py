@@ -556,3 +556,76 @@ def test_lambda_incremental_cluster_spectral_matches_full(spark, tmp_path):
     assert got == want
     label = dict(got)
     assert label["stream-jitter"] == label[base["clip_id"]]
+
+
+def test_band_store_crash_replay_and_registry_repair(spark, tmp_path):
+    """ADVICE r4 durability: (a) a replay after a crash BETWEEN the band
+    append commit and the registry write must not double the batch's
+    bands (src_batch stamps + the O(batch) bucket-scoped probe); (b) a
+    torn/unparseable registry is repaired from the stamps instead of
+    wedging every future batch; (c) the registry itself is written
+    atomically (temp + rename) so (b) can only arise from external
+    faults; (d) a band store that misses landed signature batches makes
+    use_band_store=True raise instead of silently under-clustering."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        band_store_path, band_store_table_name, cluster_store_incremental,
+        make_signature_sink)
+
+    rows, _ = clips_src.generate_clips(
+        n_base=10, dup_frac=0.3, near_frac=0.0, n_const=0, seed=44)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store, band_store=True, band_buckets=4)
+    cut = len(rows) // 2
+    sink(df_of(rows[:cut]), 0)
+    sink(df_of(rows[cut:]), 1)
+    tbl = band_store_table_name(store)
+    n = spark.table(tbl).count()
+    reg = os.path.join(band_store_path(store), "_appended_batches.json")
+    with open(reg) as f:
+        assert json.load(f) == [0, 1]
+
+    # (a) crash window: batch 1's append committed but its registry write
+    # did not -- the replay must detect the stamps and append nothing
+    with open(reg, "w") as f:
+        json.dump([0], f)
+    sink(df_of(rows[cut:]), 1)
+    assert spark.table(tbl).count() == n
+    with open(reg) as f:
+        assert json.load(f) == [0, 1]
+
+    # (b) torn registry: repaired from the src_batch stamps, no raise,
+    # still no duplicate append
+    with open(reg, "w") as f:
+        f.write('{"torn": [0')
+    sink(df_of(rows[cut:]), 1)
+    assert spark.table(tbl).count() == n
+    with open(reg) as f:
+        assert json.load(f) == [0, 1]
+
+    # (d) coverage gap: registry missing entirely while signature batches
+    # are landed -> fail fast, never trust the store silently
+    os.rename(reg, reg + ".bak")
+    prev = (spark.table(tbl).select("clip_id").distinct()
+            .withColumn("component_id", F.col("clip_id")))
+    with pytest.raises(ValueError, match="does not cover"):
+        cluster_store_incremental(spark, store, prev, since_batch=0,
+                                  use_band_store=True)
+    os.rename(reg + ".bak", reg)
+    # restored: the incremental path runs again
+    out = cluster_store_incremental(spark, store, prev, since_batch=0,
+                                    use_band_store=True)
+    assert out.count() > 0
