@@ -353,12 +353,30 @@ class Pipeline:
 
         bands = self.stage("bands", build_bands)
 
+        cands_fresh = not self._done("candidates")
         cands = self.stage(
             "candidates",
             lambda: cand_ops.candidate_pairs(
                 bands, pair_cap=cfg.pair_cap, shuffle_partitions=cfg.band_partitions
             ),
         )
+        if cands_fresh:
+            # Star-cap audit row (VERDICT r4 item 5): the exact-first /
+            # incremental "labels identical unless a bucket was capped"
+            # caveat becomes CHECKABLE per run -- rows_out is the number
+            # of band buckets that exceeded pair_cap (and thus took the
+            # sampled star fallback instead of all-pairs). 0 means this
+            # run's labels provably match an uncapped re-run. One cheap
+            # count-agg over the already-materialized bands parquet;
+            # skipped on stage resume (the audited stage didn't rerun).
+            t0 = time.time()
+            n_capped = (
+                bands.groupBy("band_id", "band_hash").count()
+                .filter(F.col("count") > cfg.pair_cap).count())
+            self._lineage(
+                "candidates_cap_audit", n_capped, t0, 0,
+                {"pair_cap": cfg.pair_cap,
+                 "labels_match_uncapped_rerun": n_capped == 0})
         verified = self.stage(
             "verified",
             lambda: cand_ops.verify_pairs_dual(

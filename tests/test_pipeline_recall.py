@@ -94,10 +94,51 @@ def test_lineage_written(pipeline_run, spark):
     assert {"chunks_pcm", "sig_pcm", "sig_text", "simhash_text", "bands",
             "candidates", "verified", "containment", "components"} <= stages
     assert all(r.finished >= r.started for r in lin)
-    # per-partition metrics (north_rule): every stage records its output
-    # partition balance; skew = max/mean rows >= 1 by construction
+    # per-partition metrics (north_rule): every data stage records its
+    # output partition balance; skew = max/mean rows >= 1 by construction
+    # (metric-only rows like the cap audit carry no partition fields)
+    data_rows = [r for r in lin if r.part_skew is not None]
+    assert data_rows
     assert all(r.part_skew >= 1.0 and r.part_rows_max >= r.part_rows_min
-               for r in lin)
+               for r in data_rows)
+    # star-cap audit row: this corpus's buckets stay under the default
+    # pair_cap, so the run certifies itself label-identical to an
+    # uncapped re-run
+    audit = [r for r in lin if r.stage == "candidates_cap_audit"]
+    assert len(audit) == 1
+    assert audit[0].rows_out == 0 and audit[0].labels_match_uncapped_rerun
+
+
+def test_cap_audit_fires_on_hot_buckets(spark, tmp_path):
+    """Adversarial arm of the star-cap audit (VERDICT r4 item 5): constant
+    clips collapse to one signature per fill group, every band maps the
+    group to one hot bucket, and a small pair_cap forces the star
+    fallback -- the lineage audit row must COUNT those buckets (the
+    'labels identical unless a bucket was capped' caveat is now
+    observable, not just documented), and a stage resume must not
+    duplicate the row."""
+    rows, _ = clips_src.generate_clips(
+        n_base=12, dup_frac=0.0, near_frac=0.0, n_const=8, seed=7)
+    df = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+          r["codec"], r["transcript"]) for r in rows],
+        schema=("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                "codec string, transcript string"))
+    wd = str(tmp_path / "capwd")
+    cfg = PipelineConfig(pair_cap=3)
+    Pipeline(spark, wd, cfg).run(df).count()
+    pipe = Pipeline(spark, wd, cfg)
+    audit = [r for r in pipe.lineage_table().collect()
+             if r.stage == "candidates_cap_audit"]
+    assert len(audit) == 1
+    assert audit[0].rows_out > 0
+    assert not audit[0].labels_match_uncapped_rerun
+    assert audit[0].pair_cap == 3
+    # resume: candidates stage is cached -> no second audit row
+    pipe.run(df).count()
+    audit2 = [r for r in pipe.lineage_table().collect()
+              if r.stage == "candidates_cap_audit"]
+    assert len(audit2) == 1
 
 
 def test_resume_idempotent(pipeline_run, synth, spark):

@@ -625,7 +625,21 @@ def test_band_store_crash_replay_and_registry_repair(spark, tmp_path):
         cluster_store_incremental(spark, store, prev, since_batch=0,
                                   use_band_store=True)
     os.rename(reg + ".bak", reg)
-    # restored: the incremental path runs again
+    # restored: the incremental path runs again, and the star-cap audit
+    # metric reports per run (VERDICT r4 item 5) -- default cap sees no
+    # hot bucket here; pair_cap=1 makes every multi-row touched bucket
+    # count as capped
+    metrics = {}
     out = cluster_store_incremental(spark, store, prev, since_batch=0,
-                                    use_band_store=True)
+                                    use_band_store=True,
+                                    metrics_out=metrics)
     assert out.count() > 0
+    assert metrics["capped_touched_buckets"] == 0
+    assert metrics["pair_cap"] == 64
+    from go_cdc_chunkers_spark.plans.pipeline import PipelineConfig
+    metrics = {}
+    cluster_store_incremental(
+        spark, store, prev, since_batch=0, use_band_store=True,
+        cfg=PipelineConfig(pair_cap=1), metrics_out=metrics).count()
+    assert metrics["capped_touched_buckets"] > 0
+    assert metrics["pair_cap"] == 1
