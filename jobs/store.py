@@ -149,6 +149,9 @@ def main() -> int:
                     help="bands report: stop-band document frequency cap")
     ap.add_argument("--broadcast-batch", action="store_true",
                     help="small-batch inverted probe (store never shuffled/sorted)")
+    ap.add_argument("--limit", type=int, default=2000,
+                    help="report: max per-clip/pair detail rows in the JSON "
+                         "(aggregates stay exact; truncated:true marks a cut)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -197,17 +200,34 @@ def main() -> int:
             # bucketing + schema come from the store's own _store_meta.json
             store = incremental.register_chunk_store(spark, TABLE, args.store)
             if args.cmd == "report":
+                from pyspark.sql import functions as F
+
                 rep = incremental.exact_dedup_vs_store(
                     batch, store, broadcast_batch=args.broadcast_batch
-                ).orderBy("clip_id")
-                rows = [r.asDict() for r in rep.collect()]
+                ).persist()
+                # aggregates computed distributed and EXACT; only the
+                # per-clip detail list is bounded by --limit (a batch can
+                # be millions of clips -- the driver JSON must not be)
+                agg = rep.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("dup_bytes"), F.lit(0)).alias("dup"),
+                    F.coalesce(F.sum(F.col("total_bytes")
+                                     - F.col("dup_bytes")), F.lit(0)
+                               ).alias("novel"),
+                    F.coalesce(F.sum(F.col("fully_dup").cast("long")),
+                               F.lit(0)).alias("full"),
+                ).collect()[0]
+                rows = [r.asDict() for r in
+                        rep.orderBy("clip_id").limit(args.limit).collect()]
+                rep.unpersist()
                 out = {
-                    "cmd": "report", "store": args.store, "n_clips": len(rows),
-                    "dup_bytes": sum(r["dup_bytes"] for r in rows),
-                    "novel_bytes": sum(r["total_bytes"] - r["dup_bytes"]
-                                       for r in rows),
-                    "fully_dup_clips": sum(1 for r in rows if r["fully_dup"]),
+                    "cmd": "report", "store": args.store,
+                    "n_clips": int(agg["n"]),
+                    "dup_bytes": int(agg["dup"]),
+                    "novel_bytes": int(agg["novel"]),
+                    "fully_dup_clips": int(agg["full"]),
                     "clips": rows,
+                    "truncated": int(agg["n"]) > len(rows),
                 }
             else:  # append
                 before = store.count()
@@ -240,14 +260,19 @@ def _main_bands(spark, args, cfg: dict) -> int:
         store = incremental.register_chunk_store(spark, BAND_TABLE, args.store)
         if args.cmd == "report":
             bdf = incremental.read_band_df(spark, args.store)
-            pairs = incremental.near_dup_candidates_vs_store(
+            cand = incremental.near_dup_candidates_vs_store(
                 batch, store, max_df=args.max_df, store_df=bdf
-            ).orderBy("new_clip", "store_clip").collect()
+            ).persist()
+            n_cand = cand.count()  # exact; the detail list is --limit-bounded
+            pairs = cand.orderBy("new_clip", "store_clip") \
+                        .limit(args.limit).collect()
+            cand.unpersist()
             out = {
                 "cmd": "report", "kind": "bands", "store": args.store,
-                "n_candidates": len(pairs),
+                "n_candidates": n_cand,
                 "used_df_sidecar": bdf is not None,
                 "pairs": [[r["new_clip"], r["store_clip"]] for r in pairs],
+                "truncated": n_cand > len(pairs),
             }
         else:  # append
             before = store.count()

@@ -272,6 +272,15 @@ def test_store_cli_init_report_append_cycle(tmp_path):
     assert comp["files_after"] < comp["files_before"]
     rep3 = run("report", "--path", str(b))
     assert rep3["fully_dup_clips"] == 2 and rep3["dup_bytes"] == 100_000
+    assert rep3["truncated"] is False and len(rep3["clips"]) == 2
+
+    # --limit bounds only the detail list; aggregates stay exact and the
+    # cut is marked (VERDICT r4 item 6)
+    lim = run("report", "--path", str(b), "--limit", "1")
+    assert lim["truncated"] is True and len(lim["clips"]) == 1
+    assert lim["n_clips"] == 2 and lim["dup_bytes"] == rep3["dup_bytes"]
+    assert lim["clips"][0]["clip_id"] == min(
+        c["clip_id"] for c in rep3["clips"])  # deterministic order
 
     # chunking params persist with the store: a report WITHOUT sizing flags
     # uses the init-time parameters (identical accounting)...
