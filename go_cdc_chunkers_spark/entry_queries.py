@@ -2410,6 +2410,155 @@ IMAGE_PNG_SQL = (
 )
 
 
+def _jpeg_qt(kind: int):
+    """Closed-form quant tables (natural order), reproduced textually in
+    the DuckDB oracle: luma 1+(i*7)%32, chroma 1+(i*11)%40."""
+    import numpy as np
+
+    i = np.arange(64)
+    return (1 + (i * (7 if kind == 0 else 11)) % (32 if kind == 0 else 40)
+            ).astype(np.int64)
+
+
+def _jpeg_blocks(nby: int, nbx: int, salt: int):
+    """Closed-form quantized coefficient blocks (natural order): sparse
+    AC where (by*131+bx*241+i*37+salt*53)%97 divides by 5 (value-48),
+    DC = (by*59+bx*83+salt*101)%256-128. Identical arithmetic appears in
+    _jpeg_comp_sql."""
+    import numpy as np
+
+    by = np.arange(nby)[:, None, None]
+    bx = np.arange(nbx)[None, :, None]
+    i = np.arange(64)[None, None, :]
+    v = (by * 131 + bx * 241 + i * 37 + salt * 53) % 97
+    blk = np.where((i > 0) & (v % 5 == 0), v - 48,
+                   np.zeros_like(v)).astype(np.int32)
+    blk[:, :, 0] = ((by * 59 + bx * 83 + salt * 101) % 256 - 128)[:, :, 0]
+    return blk
+
+
+def image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free baseline JPEG decode (operators/jpeg.py),
+    engine-vs-engine: quantized coefficient blocks with every value given
+    by a closed form over (block, index) are entropy-encoded driver-side
+    (Huffman coding is lossless, so the bitstream carries exactly those
+    integers), and Spark decodes the actual JPEG bytes through the real
+    jpeg_pixels path (bitreader -> Huffman -> dequant -> vectorized
+    matmul IDCT -> JFIF color convert) inside mapInPandas. The DuckDB
+    oracle never sees the bytes: it regenerates the coefficients from the
+    same closed forms and runs its OWN relational IDCT -- a 64-term
+    cos()*cos() SUM per pixel -- plus the same JFIF expressions. Two
+    images: grayscale with restart markers (3x5 blocks, 21x35 crop) and
+    YCbCr 4:2:0 (2x3 MCUs, 28x44 crop) so subsampled-chroma upsampling
+    and color conversion are in the certified path. Float-parity margin
+    (distance of every pre-round value from a rounding boundary) is
+    pinned >= 1e-6 by tests/test_jpeg.py, ~1e9x the cross-engine cos/sum
+    noise."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import jpeg as jpeg_ops
+
+    imgs = [
+        ("jc420", jpeg_ops.jpeg_encode_coeffs([
+            {"id": 1, "hs": 2, "vs": 2, "qt": _jpeg_qt(0),
+             "blocks": _jpeg_blocks(4, 6, 1)},
+            {"id": 2, "hs": 1, "vs": 1, "qt": _jpeg_qt(1),
+             "blocks": _jpeg_blocks(2, 3, 2)},
+            {"id": 3, "hs": 1, "vs": 1, "qt": _jpeg_qt(1),
+             "blocks": _jpeg_blocks(2, 3, 3)},
+        ], 28, 44)),
+        ("jg", jpeg_ops.jpeg_encode_coeffs(
+            [{"id": 1, "hs": 1, "vs": 1, "qt": _jpeg_qt(0),
+              "blocks": _jpeg_blocks(3, 5, 0)}],
+            21, 35, restart_interval=4)),
+    ]
+    df = spark.createDataFrame([(i, bytearray(b)) for i, b in imgs],
+                               "img_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for iid, raw in zip(pdf["img_id"], pdf["bytes"]):
+                px = jpeg_ops.jpeg_pixels(bytes(raw))
+                h, w = px.shape[0], px.shape[1]
+                yy, xx = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame({
+                    "img_id": iid,
+                    "y": yy.ravel().astype(np.int32),
+                    "x": xx.ravel().astype(np.int32),
+                    "r": px[:, :, 0].ravel().astype(np.int32),
+                    "g": px[:, :, 1].ravel().astype(np.int32),
+                    "b": px[:, :, 2].ravel().astype(np.int32),
+                })
+
+    return df.mapInPandas(
+        gen, "img_id string, y int, x int, r int, g int, b int"
+    ).orderBy("img_id", "y", "x")
+
+
+def _jpeg_comp_sql(name: str, nby: int, nbx: int, salt: int, qt: str,
+                   ys: str, xs: str, yexpr: str, xexpr: str) -> str:
+    """CTE pair for one component plane: coefficients from the closed
+    forms (same arithmetic as _jpeg_blocks), then the T.81 IDCT as a
+    64-term SUM. yexpr/xexpr map output coords to plane sample coords
+    (identity for full-res, g//2 for 4:2:0 chroma)."""
+    return f"""
+{name}_c AS (
+  SELECT b.g AS by, bb.g AS bx, i.g AS i,
+    CASE WHEN i.g = 0 THEN (b.g*59 + bb.g*83 + {salt}*101) % 256 - 128
+         WHEN (b.g*131 + bb.g*241 + i.g*37 + {salt}*53) % 97 % 5 = 0
+           THEN (b.g*131 + bb.g*241 + i.g*37 + {salt}*53) % 97 - 48
+         ELSE 0 END AS val
+  FROM generate_series(0, {nby - 1}) b(g),
+       generate_series(0, {nbx - 1}) bb(g),
+       generate_series(0, 63) i(g)),
+{name}_px AS (
+  SELECT yy.g AS y, xx.g AS x,
+    SUM( (CASE WHEN c.i // 8 = 0 THEN 1/sqrt(2) ELSE 1 END)
+       * (CASE WHEN c.i % 8 = 0 THEN 1/sqrt(2) ELSE 1 END) / 4
+       * c.val * {qt}
+       * cos((2*(({yexpr}) % 8) + 1) * (c.i // 8) * pi() / 16)
+       * cos((2*(({xexpr}) % 8) + 1) * (c.i % 8) * pi() / 16) ) + 128 AS s
+  FROM generate_series(0, {ys}) yy(g), generate_series(0, {xs}) xx(g)
+  JOIN {name}_c c
+    ON c.by = ({yexpr}) // 8 AND c.bx = ({xexpr}) // 8
+  GROUP BY 1, 2)"""
+
+
+_JQT_L = "(1 + (c.i*7) % 32)"
+_JQT_C = "(1 + (c.i*11) % 40)"
+
+IMAGE_JPEG_SQL = (
+    "WITH" + _jpeg_comp_sql("jg", 3, 5, 0, _JQT_L, "20", "34",
+                            "yy.g", "xx.g")
+    + "," + _jpeg_comp_sql("jy", 4, 6, 1, _JQT_L, "27", "43",
+                           "yy.g", "xx.g")
+    + "," + _jpeg_comp_sql("jcb", 2, 3, 2, _JQT_C, "27", "43",
+                           "yy.g // 2", "xx.g // 2")
+    + "," + _jpeg_comp_sql("jcr", 2, 3, 3, _JQT_C, "27", "43",
+                           "yy.g // 2", "xx.g // 2")
+    + """
+SELECT img_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+       CAST(GREATEST(0, LEAST(255, round(rs))) AS INT) AS r,
+       CAST(GREATEST(0, LEAST(255, round(gs))) AS INT) AS g,
+       CAST(GREATEST(0, LEAST(255, round(bs))) AS INT) AS b
+FROM (
+  SELECT 'jg' AS img_id, y, x, s AS rs, s AS gs, s AS bs FROM jg_px
+  UNION ALL
+  SELECT 'jc420', jy.y, jy.x,
+         jy.s + 1.402*(jcr.s - 128.0),
+         jy.s - (0.114*1.772/0.587)*(jcb.s - 128.0)
+              - (0.299*1.402/0.587)*(jcr.s - 128.0),
+         jy.s + 1.772*(jcb.s - 128.0)
+  FROM jy_px jy
+  JOIN jcb_px jcb ON jcb.y = jy.y AND jcb.x = jy.x
+  JOIN jcr_px jcr ON jcr.y = jy.y AND jcr.x = jy.x
+)
+ORDER BY img_id, y, x
+"""
+)
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -2433,6 +2582,7 @@ QUERIES = {
     "audio_fp_incremental": audio_fp_incremental,
     "audio_mulaw_decode": audio_mulaw_decode,
     "image_png_decode": image_png_decode,
+    "image_jpeg_decode": image_jpeg_decode,
     "audio_alaw_decode": audio_alaw_decode,
     "audio_adpcm_decode": audio_adpcm_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -2491,6 +2641,7 @@ ORACLES = {
     "audio_fp_incremental": AUDIO_FP_INC_SQL,
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
     "image_png_decode": IMAGE_PNG_SQL,
+    "image_jpeg_decode": IMAGE_JPEG_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
     "audio_adpcm_decode": _adpcm_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,

@@ -281,10 +281,15 @@ def decode_image(raw: bytes) -> np.ndarray:
         from .png import png_pixels  # stdlib-zlib decoder, no codec libs
 
         return png_pixels(raw)[:, :, :3]  # RGBA -> RGB for the feature path
+    if raw.startswith(b"\xff\xd8"):
+        from .jpeg import jpeg_pixels  # pure-numpy baseline DCT decoder
+
+        return jpeg_pixels(raw)
     raise NotImplementedError(
-        "image decode for JPEG requires PIL/opencv (not in this image); "
-        "PPM P6, 24-bit BMP and 8-bit PNG (gray/RGB/palette/alpha) are "
-        "decoded for real"
+        "image decode: PPM P6, 24-bit BMP, 8-bit PNG "
+        "(gray/RGB/palette/alpha) and baseline JPEG are decoded for real; "
+        "other formats (WebP/TIFF/progressive JPEG/...) need PIL/opencv, "
+        "not in this image"
     )
 
 
