@@ -2559,6 +2559,80 @@ ORDER BY img_id, y, x
 )
 
 
+def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free FLAC decode (operators/flac.py), engine-vs-engine:
+    three clips whose every PCM sample is a closed form over the sample
+    index are encoded driver-side (FLAC is lossless, so the bytes carry
+    exactly those integers), covering fixed predictors, mid/side stereo
+    decorrelation, and forced-LPC subframes with rice partition order 2.
+    Spark decodes the actual FLAC bytes through the real flac_decode path
+    (frame sync, CRC-8/16 verification, rice residuals, predictor
+    inversion, MD5 whole-stream check) inside mapInPandas; the DuckDB
+    oracle never sees the bytes and regenerates the sample relation from
+    the same closed forms with generate_series. Exact integers -- no
+    float-parity caveat."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import flac as flac_ops
+
+    i = np.arange(2500)
+    fm = ((i * 37 + 11) % 1024 - 512).astype(np.int64)
+    i = np.arange(2000)
+    fs = np.stack([(i * 53 + 7) % 2048 - 1024,
+                   (i * 31 + 3) % 1536 - 768], axis=1).astype(np.int64)
+    i = np.arange(1800)
+    fl = ((i * 29 + 5) % 997 - 498).astype(np.int64)
+    clips = [
+        ("fm", flac_ops.flac_encode(fm, 16000, block_size=512)),
+        ("fs", flac_ops.flac_encode(fs, 16000, block_size=512,
+                                    mode="mid_side")),
+        ("fl", flac_ops.flac_encode(fl, 16000, block_size=512,
+                                    partition_order=2,
+                                    force=("lpc", [3, -1], 1))),
+    ]
+    df = spark.createDataFrame([(c, bytearray(b)) for c, b in clips],
+                               "clip_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                samples, _sr, _bps = flac_ops.flac_decode(bytes(raw))
+                n, n_ch = samples.shape
+                for ch in range(n_ch):
+                    yield pd.DataFrame({
+                        "clip_id": cid,
+                        "ch": np.full(n, ch, np.int32),
+                        "i": np.arange(n, dtype=np.int32),
+                        "sample": samples[:, ch].astype(np.int32),
+                    })
+
+    return df.mapInPandas(
+        gen, "clip_id string, ch int, i int, sample int"
+    ).orderBy("clip_id", "ch", "i")
+
+
+AUDIO_FLAC_SQL = """
+SELECT clip_id, CAST(ch AS INT) AS ch, CAST(i AS INT) AS i,
+       CAST(sample AS INT) AS sample
+FROM (
+  SELECT 'fm' AS clip_id, 0 AS ch, g.g AS i,
+         (g.g*37 + 11) % 1024 - 512 AS sample
+  FROM generate_series(0, 2499) g(g)
+  UNION ALL
+  SELECT 'fs', 0, g.g, (g.g*53 + 7) % 2048 - 1024
+  FROM generate_series(0, 1999) g(g)
+  UNION ALL
+  SELECT 'fs', 1, g.g, (g.g*31 + 3) % 1536 - 768
+  FROM generate_series(0, 1999) g(g)
+  UNION ALL
+  SELECT 'fl', 0, g.g, (g.g*29 + 5) % 997 - 498
+  FROM generate_series(0, 1799) g(g)
+)
+ORDER BY clip_id, ch, i
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -2583,6 +2657,7 @@ QUERIES = {
     "audio_mulaw_decode": audio_mulaw_decode,
     "image_png_decode": image_png_decode,
     "image_jpeg_decode": image_jpeg_decode,
+    "audio_flac_decode": audio_flac_decode,
     "audio_alaw_decode": audio_alaw_decode,
     "audio_adpcm_decode": audio_adpcm_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -2642,6 +2717,7 @@ ORACLES = {
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
     "image_png_decode": IMAGE_PNG_SQL,
     "image_jpeg_decode": IMAGE_JPEG_SQL,
+    "audio_flac_decode": AUDIO_FLAC_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
     "audio_adpcm_decode": _adpcm_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,

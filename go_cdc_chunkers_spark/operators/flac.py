@@ -1,0 +1,633 @@
+"""Dependency-free FLAC codec (pure numpy + Python bit I/O).
+
+FLAC is the lossless audio format real speech/music corpora actually
+ship, so a near-dup pipeline over an (audio clip, transcript) table (the
+reference's corpus tooling chunks arbitrary file trees --
+``/root/reference/cmd/cdc/stats.go:158-171`` -- and BASELINE's input
+hint carries a ``codec`` column) needs to decode it without an ffmpeg
+dependency. Everything here is from the public FLAC format spec
+(RFC 9639 / xiph.org): STREAMINFO + metadata walk, frame headers with
+CRC-8, subframes (CONSTANT / VERBATIM / FIXED 0-4 / LPC 1-32), rice
+residual partitions (both 4- and 5-bit parameter methods, escape
+partitions), stereo decorrelation (left/side, right/side, mid/side),
+wasted-bits, frame CRC-16, and the STREAMINFO MD5 whole-stream check.
+
+Architecture note (same stance as jpeg.py / png.py): entropy-level bit
+parsing is inherently sequential, but the hot loops are numpy-assisted:
+rice unary runs are located with one np.flatnonzero over the whole bit
+array + np.searchsorted per code (no per-bit Python), fixed-width sample
+groups fold via one matmul, FIXED predictors invert via cumulative sums,
+and only the genuinely recursive LPC filter runs a per-sample loop.
+
+The encoder is coefficient-exact (FLAC is lossless, so encode->decode
+round-trips are integer-identical), which lets tests and the
+``audio_flac_decode`` driver query certify every decode path: the oracle
+regenerates closed-form PCM relationally while Spark decodes the real
+bytes. Encoder restricted to byte-aligned bps (8/16/24) and the frame
+features above; no library formats any byte of it.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_CRC8_POLY = 0x07
+_CRC16_POLY = 0x8005
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, np.uint32)
+    for b in range(256):
+        v = b << (width - 8)
+        for _ in range(8):
+            v = ((v << 1) ^ poly) if v & top else (v << 1)
+        tab[b] = v & mask
+    return tab
+
+
+_CRC8_TAB = _crc_table(_CRC8_POLY, 8)
+_CRC16_TAB = _crc_table(_CRC16_POLY, 16)
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[c ^ b])
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# block size code -> size (0 reserved, 6/7 explicit 8/16-bit follow)
+_BS_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+             8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+             13: 8192, 14: 16384, 15: 32768}
+_SR_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+             6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS_FIXED = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _utf8_encode_num(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    for n_cont, lead in ((1, 0xC0), (2, 0xE0), (3, 0xF0), (4, 0xF8),
+                         (5, 0xFC), (6, 0xFE)):
+        if v < (1 << (6 * n_cont + (7 - n_cont - 1 if n_cont < 6 else 0))):
+            out = bytearray(1 + n_cont)
+            for i in range(n_cont, 0, -1):
+                out[i] = 0x80 | (v & 0x3F)
+                v >>= 6
+            out[0] = lead | v
+            return bytes(out)
+    raise ValueError("flac: coded number exceeds 36 bits")
+
+
+class _Bits:
+    """Bit reader over the whole stream: one unpackbits + one
+    flatnonzero up front; unary runs resolve via searchsorted (no
+    per-bit Python in the rice hot path)."""
+
+    def __init__(self, data: bytes):
+        self.raw = data
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+        self.n = len(self.bits)
+
+    def read(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise ValueError("flac: bitstream truncated")
+        self.pos = p + nbits
+        if nbits == 0:
+            return 0
+        v = 0
+        for b in self.bits[p:self.pos]:
+            v = (v << 1) | int(b)
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_group(self, count: int, nbits: int) -> np.ndarray:
+        """count fixed-width unsigned values as one matmul fold."""
+        p = self.pos
+        end = p + count * nbits
+        if end > self.n:
+            raise ValueError("flac: bitstream truncated")
+        self.pos = end
+        if count == 0 or nbits == 0:
+            return np.zeros(count, np.int64)
+        m = self.bits[p:end].reshape(count, nbits).astype(np.int64)
+        return m @ (np.int64(1) << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+
+    def unary(self) -> int:
+        i = np.searchsorted(self.ones, self.pos)
+        if i >= len(self.ones):
+            raise ValueError("flac: bitstream truncated in unary code")
+        j = int(self.ones[i])
+        q = j - self.pos
+        self.pos = j + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+def _read_utf8_num(bits: _Bits) -> int:
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n_cont = 0
+    probe = b0
+    while probe & 0x80:
+        n_cont += 1
+        probe = (probe << 1) & 0xFF
+    n_cont -= 1
+    if n_cont < 1 or n_cont > 6:
+        raise ValueError("flac: bad coded-number lead byte")
+    v = b0 & (0x7F >> (n_cont + 1)) if n_cont < 6 else 0
+    for _ in range(n_cont):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _signed_group(vals: np.ndarray, nbits: int) -> np.ndarray:
+    half = np.int64(1) << (nbits - 1)
+    return np.where(vals >= half, vals - (np.int64(1) << nbits), vals)
+
+
+def _undo_fixed(order: int, warmup: np.ndarray, res: np.ndarray) -> np.ndarray:
+    """Invert the order-th finite difference by repeated cumulative sums
+    seeded from the warmup's difference pyramid (no per-sample loop)."""
+    diffs = [warmup.astype(np.int64)]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    x = res.astype(np.int64)
+    for k in range(order, 0, -1):
+        x = diffs[k - 1][-1] + np.cumsum(x)
+    return np.concatenate([warmup.astype(np.int64), x])
+
+
+def _undo_lpc(warmup: np.ndarray, res: np.ndarray, coefs: list[int],
+              shift: int) -> np.ndarray:
+    order = len(coefs)
+    out = np.empty(order + len(res), np.int64)
+    out[:order] = warmup
+    c = np.array(coefs[::-1], np.int64)  # c aligned with out[i-order:i]
+    r = res.astype(np.int64)
+    for i in range(len(r)):
+        pred = int(out[i:i + order] @ c) >> shift
+        out[order + i] = r[i] + pred
+    return out
+
+
+def _read_residual(bits: _Bits, block_size: int, order: int) -> np.ndarray:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = bits.read(4)
+    nparts = 1 << po
+    if block_size % nparts:
+        raise ValueError("flac: partition order does not divide block")
+    out = []
+    for j in range(nparts):
+        cnt = (block_size >> po) - (order if j == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: predictor order exceeds first partition")
+        k = bits.read(pbits)
+        if k == esc:
+            nb = bits.read(5)
+            vals = (_signed_group(bits.read_group(cnt, nb), nb) if nb
+                    else np.zeros(cnt, np.int64))
+            out.append(vals)
+        else:
+            vals = np.empty(cnt, np.int64)
+            for i in range(cnt):
+                q = bits.unary()
+                v = (q << k) | bits.read(k)
+                vals[i] = (v >> 1) ^ -(v & 1)  # zigzag
+            out.append(vals)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+def _read_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
+    if bits.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    t = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        out = np.full(block_size, v, np.int64)
+    elif t == 1:  # VERBATIM
+        out = _signed_group(bits.read_group(block_size, eff), eff)
+    elif 8 <= t <= 12:  # FIXED, order 0-4
+        order = t - 8
+        if order > block_size:
+            raise ValueError("flac: fixed order exceeds block")
+        warm = _signed_group(bits.read_group(order, eff), eff)
+        res = _read_residual(bits, block_size, order)
+        out = _undo_fixed(order, warm, res)
+    elif t >= 32:  # LPC, order 1-32
+        order = (t & 31) + 1
+        warm = _signed_group(bits.read_group(order, eff), eff)
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid LPC precision code 1111")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        res = _read_residual(bits, block_size, order)
+        out = _undo_lpc(warm, res, coefs, shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {t}")
+    return out << wasted if wasted else out
+
+
+def _parse_streaminfo(body: bytes) -> dict:
+    b = _Bits(body)
+    return {
+        "min_bs": b.read(16), "max_bs": b.read(16),
+        "min_fs": b.read(24), "max_fs": b.read(24),
+        "sr": b.read(20), "channels": b.read(3) + 1,
+        "bps": b.read(5) + 1, "total": b.read(36),
+        "md5": body[18:34],
+    }
+
+
+def flac_decode(raw: bytes, verify_md5: bool = True):
+    """Decode a FLAC stream -> (samples (n, channels) int64, sr, bps).
+
+    Verifies every frame-header CRC-8, every frame CRC-16, and (for
+    byte-aligned bps, when STREAMINFO carries one) the whole-stream MD5
+    -- decode-for-real-or-raise, same contract as the WAV/PNG/JPEG
+    paths."""
+    if raw[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(raw):
+            raise ValueError("flac: truncated metadata")
+        hdr = raw[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        body = raw[pos + 4:pos + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if ln < 34:
+                raise ValueError("flac: short STREAMINFO")
+            info = _parse_streaminfo(body)
+        elif btype == 127:
+            raise ValueError("flac: invalid metadata block type 127")
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+
+    bits = _Bits(raw)
+    bits.pos = pos * 8
+    chans: list[list[np.ndarray]] = [[] for _ in range(info["channels"])]
+    decoded = 0
+    while bits.pos < bits.n - 8 and (info["total"] == 0
+                                     or decoded < info["total"]):
+        fstart = bits.byte_pos()
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"flac: lost frame sync at byte {fstart}")
+        if bits.read(1):
+            raise ValueError("flac: frame reserved bit set")
+        bits.read(1)  # blocking strategy (number meaning only)
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        sz_code = bits.read(3)
+        if bits.read(1):
+            raise ValueError("flac: frame reserved bit set")
+        _read_utf8_num(bits)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 6:
+            block_size = bits.read(8) + 1
+        elif bs_code == 7:
+            block_size = bits.read(16) + 1
+        else:
+            block_size = _BS_FIXED[bs_code]
+        if sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        elif sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        hdr_crc = crc8(raw[fstart:bits.byte_pos()])
+        if bits.read(8) != hdr_crc:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+
+        bps = info["bps"] if sz_code == 0 else _BPS_FIXED.get(sz_code)
+        if bps is None:
+            raise ValueError("flac: reserved sample size code")
+        if ch_code <= 7:
+            n_ch = ch_code + 1
+            if n_ch != info["channels"]:
+                raise ValueError("flac: frame/STREAMINFO channel mismatch")
+            subs = [_read_subframe(bits, block_size, bps)
+                    for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if info["channels"] != 2:
+                raise ValueError("flac: stereo decorrelation on non-stereo")
+            extra0 = 1 if ch_code == 9 else 0
+            extra1 = 1 if ch_code in (8, 10) else 0
+            s0 = _read_subframe(bits, block_size, bps + extra0)
+            s1 = _read_subframe(bits, block_size, bps + extra1)
+            if ch_code == 8:      # left/side
+                subs = [s0, s0 - s1]
+            elif ch_code == 9:    # right/side
+                subs = [s1 + s0, s1]
+            else:                 # mid/side
+                lr_sum = (s0 << 1) | (s1 & 1)
+                left = (lr_sum + s1) >> 1
+                subs = [left, left - s1]
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        bits.align()
+        frame_crc = crc16(raw[fstart:bits.byte_pos()])
+        if bits.read(16) != frame_crc:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        take = block_size
+        if info["total"]:
+            take = min(block_size, info["total"] - decoded)
+        for c, s in zip(chans, subs):
+            c.append(s[:take])
+        decoded += take
+
+    if info["total"] and decoded < info["total"]:
+        raise ValueError("flac: stream ends before STREAMINFO total")
+    out = np.stack([np.concatenate(c) if c else np.zeros(0, np.int64)
+                    for c in chans], axis=1)
+    if verify_md5 and info["md5"] != b"\x00" * 16 and info["bps"] % 8 == 0:
+        nb = info["bps"] // 8
+        h = hashlib.md5(_pcm_bytes(out, nb)).digest()
+        if h != info["md5"]:
+            raise ValueError("flac: MD5 mismatch (decoded PCM corrupt)")
+    return out, info["sr"], info["bps"]
+
+
+def _pcm_bytes(samples: np.ndarray, nbytes: int) -> bytes:
+    """Interleaved little-endian signed PCM bytes (the MD5 domain)."""
+    flat = samples.astype(np.int64).ravel()
+    u = (flat & ((1 << (8 * nbytes)) - 1)).astype(np.uint64)
+    b = np.empty((len(flat), nbytes), np.uint8)
+    for i in range(nbytes):
+        b[:, i] = (u >> np.uint64(8 * i)) & np.uint64(0xFF)
+    return b.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder (coefficient-exact; enables lossless round-trip certification)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nb += nbits
+        while self.nb >= 8:
+            self.out.append((self.acc >> (self.nb - 8)) & 0xFF)
+            self.nb -= 8
+        self.acc &= (1 << self.nb) - 1
+
+    def align(self) -> None:
+        if self.nb:
+            self.write(0, 8 - self.nb)
+
+
+def _rice_cost(z: np.ndarray, k: int) -> int:
+    return int(np.sum(z >> k)) + len(z) * (k + 1)
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray, order: int,
+                    block_size: int, partition_order: int, bps: int,
+                    escape: bool) -> None:
+    if block_size % (1 << partition_order):
+        raise ValueError("flac: partition order must divide block size")
+    w.write(0, 2)  # 4-bit rice parameters
+    w.write(partition_order, 4)
+    start = 0
+    for j in range(1 << partition_order):
+        cnt = (block_size >> partition_order) - (order if j == 0 else 0)
+        part = res[start:start + cnt]
+        start += cnt
+        z = ((part << 1) ^ (part >> 63)).astype(np.int64)  # zigzag
+        if escape:
+            nb = max(2, int(np.max(np.abs(part))).bit_length() + 1) \
+                if len(part) else 2
+            if nb > bps + 1:
+                raise ValueError("flac: escape residual too wide")
+            w.write(15, 4)
+            w.write(nb, 5)
+            for v in part:
+                w.write(int(v), nb)
+            continue
+        k = min(range(15), key=lambda kk: _rice_cost(z, kk)) if len(z) else 0
+        w.write(k, 4)
+        for v in z:
+            q = int(v) >> k
+            if q:
+                w.write(0, q)
+            w.write(1, 1)
+            if k:
+                w.write(int(v) & ((1 << k) - 1), k)
+
+
+def _fixed_residuals(s: np.ndarray, order: int) -> np.ndarray:
+    r = s.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _write_subframe(w: _BitWriter, s: np.ndarray, bps: int,
+                    block_size: int, partition_order: int,
+                    force=None) -> None:
+    s = s.astype(np.int64)
+    wasted = 0
+    if force is None and len(s):
+        # common trailing zeros across ALL samples (one OR-reduce, cap 8)
+        acc = int(np.bitwise_or.reduce(s))
+        if acc:
+            wasted = min((acc & -acc).bit_length() - 1, 8)
+    eff = bps - wasted
+    sv = s >> wasted if wasted else s
+
+    def header(t: int) -> None:
+        w.write(0, 1)
+        w.write(t, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write(1, wasted)  # unary: wasted-1 zeros then a 1
+        else:
+            w.write(0, 1)
+
+    if force == "verbatim" or (force is None and len(sv) < 5):
+        header(1)
+        for v in sv:
+            w.write(int(v), eff)
+        return
+    if isinstance(force, tuple) and force[0] == "lpc":
+        _, coefs, shift = force
+        order = len(coefs)
+        prec = max(max(abs(int(c)) for c in coefs).bit_length() + 1, 2)
+        if prec > 15:
+            raise ValueError("flac: LPC coefficient too wide")
+        header(32 + order - 1)
+        for v in sv[:order]:
+            w.write(int(v), eff)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(int(c), prec)
+        carr = np.array(coefs[::-1], np.int64)
+        res = np.array([int(sv[i]) - (int(sv[i - order:i] @ carr) >> shift)
+                        for i in range(order, len(sv))], np.int64)
+        _write_residual(w, res, order, block_size, partition_order, eff,
+                        escape=False)
+        return
+    if force == "constant" or (force is None and np.all(sv == sv[0])):
+        if not np.all(sv == sv[0]):
+            raise ValueError("flac: constant subframe on non-constant data")
+        header(0)
+        w.write(int(sv[0]), eff)
+        return
+    # FIXED: pick the order with the smallest residual mass
+    order, best = 0, int(np.sum(np.abs(sv)))
+    if force != "fixed_order0":
+        for o in range(1, min(5, len(sv))):
+            mass = int(np.sum(np.abs(_fixed_residuals(sv, o))))
+            if mass < best:
+                order, best = o, mass
+    res = _fixed_residuals(sv, order) if order else sv
+    header(8 + order)
+    for v in sv[:order]:
+        w.write(int(v), eff)
+    _write_residual(w, res, order, block_size, partition_order, eff,
+                    escape=(force == "escape"))
+
+
+def flac_encode(pcm: np.ndarray, sr: int, bps: int = 16,
+                block_size: int = 4096, mode: str = "independent",
+                partition_order: int = 0, force=None) -> bytes:
+    """Encode integer PCM (n,) or (n, channels) -> FLAC bytes.
+
+    mode: independent | left_side | right_side | mid_side (stereo only).
+    force: None (auto constant/fixed) | "verbatim" | "constant" |
+    "fixed_order0" | "escape" (escape rice partitions) |
+    ("lpc", coefs, shift) -- exercises every decoder subframe path."""
+    pcm = np.asarray(pcm, np.int64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, n_ch = pcm.shape
+    if bps % 8 or not 8 <= bps <= 24:
+        raise ValueError("flac: encoder supports bps 8/16/24")
+    lim = 1 << (bps - 1)
+    if np.any(pcm < -lim) or np.any(pcm >= lim):
+        raise ValueError("flac: samples exceed bps range")
+    if mode != "independent" and n_ch != 2:
+        raise ValueError("flac: decorrelation modes need stereo input")
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(min(block_size, n or 1), 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sr, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = bytes(si.out) + hashlib.md5(_pcm_bytes(pcm, bps // 8)).digest()
+    out.append(0x80)  # last metadata block, type 0 = STREAMINFO
+    out.extend(len(body).to_bytes(3, "big"))
+    out.extend(body)
+
+    frame_no = 0
+    for start in range(0, max(n, 1), block_size):
+        blk = pcm[start:start + block_size]
+        bs = len(blk)
+        if bs == 0:
+            break
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking strategy: number = frame index
+        bs_code = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8,
+                   512: 9, 1024: 10, 2048: 11, 4096: 12, 8192: 13,
+                   16384: 14, 32768: 15}.get(bs, 7)
+        w.write(bs_code, 4)
+        sr_code = {v: k for k, v in _SR_FIXED.items()}.get(sr)
+        if sr_code is None:
+            sr_code = 13 if sr < 65536 else 0
+        w.write(sr_code, 4)
+        if mode == "independent":
+            w.write(n_ch - 1, 4)
+        else:
+            w.write({"left_side": 8, "right_side": 9, "mid_side": 10}[mode],
+                    4)
+        w.write({8: 1, 16: 4, 24: 6}[bps], 3)
+        w.write(0, 1)
+        for b in _utf8_encode_num(frame_no):
+            w.write(b, 8)
+        if bs_code == 7:
+            w.write(bs - 1, 16)
+        if sr_code == 13:
+            w.write(sr, 16)
+        w.align()
+        w.out.append(crc8(bytes(w.out)))
+
+        if mode == "independent":
+            subs = [(blk[:, c], bps) for c in range(n_ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if mode == "left_side":
+                subs = [(left, bps), (side, bps + 1)]
+            elif mode == "right_side":
+                subs = [(side, bps + 1), (right, bps)]
+            else:
+                subs = [((left + right) >> 1, bps), (side, bps + 1)]
+        for s, sbps in subs:
+            _write_subframe(w, s, sbps, bs, partition_order, force)
+        w.align()
+        fb = bytes(w.out)
+        out.extend(fb)
+        out.extend(crc16(fb).to_bytes(2, "big"))
+        frame_no += 1
+    return bytes(out)

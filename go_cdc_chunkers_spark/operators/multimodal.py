@@ -108,10 +108,19 @@ def _decode_pcm_batch(raw: bytes, codec: str) -> np.ndarray:
         return codecs.alaw_decode(raw)
     if codec == "adpcm_ima":
         return codecs.ima_adpcm_decode(raw)
+    if codec == "flac":
+        from . import flac as flac_codec
+
+        samples, _sr, bps = flac_codec.flac_decode(raw)
+        if bps != 16:
+            raise NotImplementedError(
+                f"flac: PCM pipeline path expects 16-bit streams (got "
+                f"bps={bps}); decode via operators.flac.flac_decode directly")
+        return samples.astype(np.int16).ravel()  # row-major = interleaved
     raise NotImplementedError(
         f"codec {codec!r}: not decodable without codec libraries; decoded "
         "for real here: pcm_s16le, RIFF/WAVE (PCM/G.711/IMA-ADPCM), "
-        "pcm_mulaw, pcm_alaw, adpcm_ima"
+        "pcm_mulaw, pcm_alaw, adpcm_ima, flac"
     )
 
 
