@@ -35,7 +35,8 @@ efficiency), --skew (candidate-stage hot-bucket growth), --store
 (bucketed-store probe shuffle volumes, see store_evidence()),
 --pipeline-scale (volume amortization), --bigfile (GB-scale ranged
 chunking vs whole-buffer, stitch overhead + identity), --ab-pipeline
-(interleaved fresh-JVM neardup_pipeline vs the round-3 snapshot),
+(interleaved fresh-JVM neardup_pipeline, head tree vs a snapshot-commit
+worktree, default = previous round; SPARK_GRAFT_AB_REF overrides),
 --rss (peak process-tree RSS per pipeline mode), --exact-first
 (canonical-first per-stage savings).
 """
@@ -823,20 +824,23 @@ def bigfile_evidence(cpus: int) -> dict:
 
 
 def ab_pipeline_run(cpus: int, n_base: int, rounds: int = 3) -> dict:
-    """Interleaved fresh-JVM A/B of neardup_pipeline: this tree vs the
-    round-3 snapshot commit (git worktree under /tmp), alternating runs so
-    both sample the same noise windows (VERDICT r3 item 5 -- the r3-vs-r2
-    comparison read +9% from non-interleaved single shots). Per-tree
-    best-of-rounds total + per-stage minima."""
+    """Interleaved fresh-JVM A/B of neardup_pipeline: this tree ("head")
+    vs a snapshot commit ("base", git worktree under /tmp), alternating
+    runs so both sample the same noise windows (VERDICT r3 item 5 -- the
+    r3-vs-r2 comparison read +9% from non-interleaved single shots).
+    Per-tree best-of-rounds total + per-stage minima. The base ref
+    defaults to the previous round's end-of-round commit and is
+    overridable via SPARK_GRAFT_AB_REF (e.g. fab0741 = round-3 snapshot,
+    4705aef = round-4 snapshot)."""
     import subprocess
 
-    ref = os.environ.get("SPARK_GRAFT_AB_REF", "fab0741")
+    ref = os.environ.get("SPARK_GRAFT_AB_REF", "4705aef")
     wt = os.path.join(tempfile.gettempdir(), f"spark_graft_ab_{ref}")
     if not os.path.exists(os.path.join(wt, "bench.py")):
         subprocess.run(["git", "-C", ROOT, "worktree", "add", "--detach",
                         "-f", wt, ref], check=True, capture_output=True)
-    trees = {"r3": os.path.join(wt, "bench.py"),
-             "r4": os.path.abspath(__file__)}
+    trees = {"base": os.path.join(wt, "bench.py"),
+             "head": os.path.abspath(__file__)}
     best = {k: float("inf") for k in trees}
     stage_min: dict = {k: {} for k in trees}
     history = []
@@ -855,13 +859,15 @@ def ab_pipeline_run(cpus: int, n_base: int, rounds: int = 3) -> dict:
                 stage_min[tag][st] = sec if cur is None else min(cur, sec)
     sums = {k: round(sum(v.values()), 3) for k, v in stage_min.items()}
     return {
-        "metric": "pipeline_ab_r4_vs_r3",
-        "ref_commit": ref, "rounds": rounds, "n_clips_base": n_base,
-        "sec_r3": best["r3"], "sec_r4": best["r4"],
-        "sum_stage_min_r3": sums["r3"], "sum_stage_min_r4": sums["r4"],
-        "r4_over_r3_best": round(best["r4"] / best["r3"], 3),
-        "r4_over_r3_stage_min": round(sums["r4"] / sums["r3"], 3),
-        "stage_sec_r3": stage_min["r3"], "stage_sec_r4": stage_min["r4"],
+        "metric": "pipeline_ab_head_vs_base",
+        "base_commit": ref, "rounds": rounds, "n_clips_base": n_base,
+        "sec_base": best["base"], "sec_head": best["head"],
+        "sum_stage_min_base": sums["base"],
+        "sum_stage_min_head": sums["head"],
+        "head_over_base_best": round(best["head"] / best["base"], 3),
+        "head_over_base_stage_min": round(sums["head"] / sums["base"], 3),
+        "stage_sec_base": stage_min["base"],
+        "stage_sec_head": stage_min["head"],
         "history": history,
     }
 
