@@ -2633,6 +2633,106 @@ ORDER BY clip_id, ch, i
 """
 
 
+def cdc_codec_invariant_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-normalized chunking invariance, engine-vs-engine: three
+    deterministic closed-form PCM clips are containerized as FLAC and as
+    RIFF/WAVE; Spark chunks the ENCODED payloads through the decode-fused
+    chunk UDF (chunk_clips codec_col -- the normalize_pcm pipeline path)
+    and returns one profile row per (clip, container), where profile_sha
+    digests the ordered per-chunk sha256 sequence (content identity, not
+    just geometry). The DuckDB oracle never sees the encoded bytes: it
+    recomputes every profile from the materialized chunk relation of the
+    RAW pcm_s16le twins, emitting one identical row per container. Any
+    divergence in the decode (a single sample) or the cutpoint scan would
+    shift chunk hashes and break the value hash."""
+    import numpy as np
+
+    from .operators.flac import flac_encode
+
+    def closed_form(n: int, a: int, b: int, m: int) -> np.ndarray:
+        i = np.arange(n)
+        return ((i * a + b) % m - m // 2).astype(np.int64)
+
+    def wav_pcm(pcm16: np.ndarray, sr: int) -> bytes:
+        payload = pcm16.tobytes()
+        fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+        body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        body += b"data" + len(payload).to_bytes(4, "little") + payload
+        if len(payload) % 2:
+            body += b"\x00"
+        return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
+                + body)
+
+    specs = [("c1", 60000, 37, 11, 16384), ("c2", 50000, 53, 7, 30000),
+             ("c3", 40000, 29, 5, 9973)]
+    raw_rows, enc_rows = [], []
+    for cid, n, a, b, m in specs:
+        pcm = closed_form(n, a, b, m)
+        pcm16 = pcm.astype(np.int16)
+        raw_rows.append((cid, bytearray(pcm16.tobytes()), "pcm_s16le"))
+        enc_rows.append((cid, "flac",
+                         bytearray(bytes(flac_encode(pcm, 16000)))))
+        enc_rows.append((cid, "wav", bytearray(wav_pcm(pcm16, 16000))))
+
+    opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=4096)
+    raw_df = spark.createDataFrame(
+        raw_rows, "clip_id string, bytes binary, codec string")
+    _materialize(
+        spark,
+        chunking.chunk_clips(raw_df, "fastcdc-v1.0.0", opts).select(
+            "clip_id", "chunk_idx", "length",
+            F.lower(F.hex("chunk_hash")).alias("hash_hex")),
+        "cdc_codec_invariant_pcm_chunks")
+
+    enc_df = spark.createDataFrame(
+        enc_rows, "clip_id string, container string, bytes binary")
+    chunks = chunking.chunk_clips(
+        enc_df.select(
+            F.concat_ws("#", "clip_id", "container").alias("row_id"),
+            "bytes", F.col("container").alias("codec")),
+        "fastcdc-v1.0.0", opts, id_col="row_id", codec_col="codec",
+    )
+    return (
+        chunks.withColumn("container", F.split("clip_id", "#")[1])
+        .withColumn("clip_id", F.split("clip_id", "#")[0])
+        .withColumn("_h", F.lower(F.hex("chunk_hash")))
+        .groupBy("clip_id", "container")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("chunk_idx"), F.col("_h")))),
+                        lambda x: x["_h"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("profile_sha"),
+        )
+        .orderBy("clip_id", "container")
+    )
+
+
+CDC_CODEC_INVARIANT_SQL = f"""
+WITH pcm AS (SELECT * FROM {_mat('cdc_codec_invariant_pcm_chunks')}),
+prof AS (
+  SELECT clip_id, count(*)::BIGINT AS n_chunks,
+         sum(length)::BIGINT AS total_bytes,
+         sha256(string_agg(hash_hex, '' ORDER BY chunk_idx)) AS profile_sha
+  FROM pcm GROUP BY clip_id
+)
+SELECT p.clip_id, c.container, p.n_chunks, p.total_bytes, p.profile_sha
+FROM prof p
+JOIN (SELECT 'flac' AS container UNION ALL SELECT 'wav') c ON true
+ORDER BY p.clip_id, c.container
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -2658,6 +2758,7 @@ QUERIES = {
     "image_png_decode": image_png_decode,
     "image_jpeg_decode": image_jpeg_decode,
     "audio_flac_decode": audio_flac_decode,
+    "cdc_codec_invariant_chunks": cdc_codec_invariant_chunks,
     "audio_alaw_decode": audio_alaw_decode,
     "audio_adpcm_decode": audio_adpcm_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -2718,6 +2819,7 @@ ORACLES = {
     "image_png_decode": IMAGE_PNG_SQL,
     "image_jpeg_decode": IMAGE_JPEG_SQL,
     "audio_flac_decode": AUDIO_FLAC_SQL,
+    "cdc_codec_invariant_chunks": CDC_CODEC_INVARIANT_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
     "audio_adpcm_decode": _adpcm_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,

@@ -58,29 +58,59 @@ CHUNKS_SCHEMA = T.StructType(
 
 
 def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None,
-                   digest: bool | str = True):
+                   digest: bool | str = True, decode_codec: bool = False):
     """Series->Series pandas UDF: binary -> array<struct<offset,length,hash>>.
 
     The ResolvedOpts (incl. any keyed Gear table derivation input) is captured
     in the closure; the derived table itself is memoized per worker process
     (cdc/tables.py mirrors the reference's process-wide cache,
-    fastcdc.go:37-75)."""
+    fastcdc.go:37-75).
+
+    decode_codec=True returns a TWO-argument UDF (bytes, codec) that decodes
+    each payload to int16 PCM (multimodal._decode_pcm_batch: pcm_s16le /
+    RIFF-WAVE / G.711 / IMA-ADPCM / FLAC) and chunks the PCM byte stream
+    instead of the storage bytes -- fused into the SAME single
+    ArrowEvalPython node, so codec normalization costs zero extra Python
+    stages. This is the north-star contract ("shingle each clip's decoded
+    PCM bytes"): chunk identity becomes a property of the AUDIO, not of the
+    container, so a FLAC upload of an existing WAV clip produces byte-
+    identical chunks (lossless codecs) and dedups as the same content."""
     r: ResolvedOpts = resolve(algorithm, opts) if not isinstance(algorithm, ResolvedOpts) else algorithm
 
-    @F.pandas_udf(CHUNK_ARRAY_TYPE)
-    def _chunk(data: pd.Series) -> pd.Series:
+    def _rows(data, codecs=None):
+        if codecs is None:
+            payloads = ((b, None) for b in data)
+        else:
+            payloads = zip(data, codecs)
         out = []
-        for b in data:
+        for b, codec in payloads:
             if b is None:
                 out.append([])
                 continue
+            raw = bytes(b)
+            if codec is not None:
+                from . import multimodal
+
+                raw = multimodal._decode_pcm_batch(raw, codec).tobytes()
             out.append(
                 [
                     {"offset": o, "length": ln, "chunk_hash": h}
-                    for o, ln, h in kernels.split_chunks(r, bytes(b), digest=digest)
+                    for o, ln, h in kernels.split_chunks(r, raw, digest=digest)
                 ]
             )
         return pd.Series(out)
+
+    if decode_codec:
+
+        @F.pandas_udf(CHUNK_ARRAY_TYPE)
+        def _chunk_decoded(data: pd.Series, codec: pd.Series) -> pd.Series:
+            return _rows(data, codec)
+
+        return _chunk_decoded
+
+    @F.pandas_udf(CHUNK_ARRAY_TYPE)
+    def _chunk(data: pd.Series) -> pd.Series:
+        return _rows(data)
 
     return _chunk
 
@@ -92,6 +122,7 @@ def chunk_clips(
     data_col: str = "bytes",
     id_col: str = "clip_id",
     digest: bool | str = True,
+    codec_col: str | None = None,
 ) -> DataFrame:
     """clips -> chunks relation (P3). One shuffle-free narrow stage:
     Scan -> ArrowEvalPython -> Generate(posexplode) -> Project.
@@ -99,16 +130,24 @@ def chunk_clips(
     digest: "sha256" (default; reference-parity identity) or "poly128"
     (16-byte polynomial digest, ~2x chunking throughput -- the identity
     for near-dup signatures, where a non-cryptographic hash suffices;
-    kernels.split_chunks documents the format)."""
-    udf = make_chunk_udf(algorithm, opts, digest=digest)
+    kernels.split_chunks documents the format).
+
+    codec_col: when given, payloads are decoded to int16 PCM first
+    (see make_chunk_udf decode_codec) and the PCM byte stream is chunked;
+    still exactly one ArrowEvalPython (decode fused into the chunk UDF,
+    pinned by tests/test_codec_normalize.py)."""
+    udf = make_chunk_udf(algorithm, opts, digest=digest,
+                         decode_codec=codec_col is not None)
     # posexplode_outer, not posexplode: the non-outer Generate makes Catalyst
     # insert a `size(udf(bytes)) > 0` pre-filter that extracts a SECOND
     # ArrowEvalPython node -- the chunk kernel would run twice per row. The
     # outer variant generates unconditionally; empty clips surface as one
     # null row which the post-Generate filter (on Generate *output*, no UDF
     # reference) drops, preserving the empty-input contract.
+    chunks_expr = (udf(F.col(data_col), F.col(codec_col))
+                   if codec_col is not None else udf(F.col(data_col)))
     return (
-        df.select(F.col(id_col).alias("clip_id"), udf(F.col(data_col)).alias("_chunks"))
+        df.select(F.col(id_col).alias("clip_id"), chunks_expr.alias("_chunks"))
         .select(
             "clip_id",
             F.posexplode_outer("_chunks").alias("chunk_idx", "_c"),

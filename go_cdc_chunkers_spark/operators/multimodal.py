@@ -124,6 +124,33 @@ def _decode_pcm_batch(raw: bytes, codec: str) -> np.ndarray:
     )
 
 
+def make_pcm_sha_udf():
+    """Series->Series pandas UDF (bytes, codec) -> hex sha256 of the
+    DECODED int16 PCM byte stream. The content identity behind the
+    pipeline's exact_first + normalize_pcm mode (plans/pipeline.py):
+    lossless containers of the same audio (raw PCM, WAV, FLAC) hash
+    identically, so cross-codec exact re-uploads collapse to one
+    canonical before any expensive stage. One fused ArrowEvalPython,
+    same stance as the decode-fused chunk UDF."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def _pcm_sha(data: pd.Series, codec: pd.Series) -> pd.Series:
+        out = []
+        for b, c in zip(data, codec):
+            if b is None:
+                out.append(hashlib.sha256(b"").hexdigest())
+                continue
+            out.append(
+                hashlib.sha256(
+                    _decode_pcm_batch(bytes(b), c).tobytes()).hexdigest())
+        return pd.Series(out)
+
+    return _pcm_sha
+
+
 def audio_frame_features(
     clips: DataFrame,
     frame_ms: int = 20,

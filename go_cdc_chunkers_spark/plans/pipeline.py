@@ -117,6 +117,26 @@ class PipelineConfig:
     # candidate join; cost is one sha256 projection + one groupBy on a
     # 32-byte key (uniform, skew-free).
     exact_first: bool = False
+    # Codec-normalized chunking (the north-star contract: "shingle each
+    # clip's decoded PCM bytes"): decode every payload to int16 PCM via
+    # the clip's `codec` column (multimodal._decode_pcm_batch: pcm_s16le /
+    # RIFF-WAVE / G.711 / IMA-ADPCM / FLAC -- real decoders, unknown
+    # codecs raise) and chunk the PCM byte stream instead of the storage
+    # bytes. Chunk identity then belongs to the AUDIO, not the container:
+    # a FLAC re-upload of an existing WAV/PCM clip yields byte-identical
+    # chunks (lossless codecs decode to the same integers) and dedups as
+    # the same content, which raw-byte chunking is structurally blind to.
+    # The decode is FUSED into the one chunking ArrowEvalPython (zero
+    # extra Python stages, pinned by tests/test_codec_normalize.py); with
+    # exact_first, the canonical identity likewise becomes sha256(decoded
+    # PCM) + the transcript (computed in that same kind of fused UDF), so
+    # cross-codec exact twins collapse BEFORE any expensive stage. Lossy
+    # cross-codec copies (G.711/ADPCM re-encodes) decode to *nearly* equal
+    # PCM -- those are the spectral channel's job (use_audio_fp), not
+    # exact chunk identity's. Incompatible with max_cell_bytes (the
+    # ranged chunker seeks raw byte ranges; compressed payloads are not
+    # range-decodable here) -- the combination raises.
+    normalize_pcm: bool = False
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -200,12 +220,31 @@ class Pipeline:
 
     # -- stages ------------------------------------------------------------
 
-    @staticmethod
-    def _exact_groups(clips: DataFrame) -> DataFrame:
+    def _exact_groups(self, clips: DataFrame) -> DataFrame:
         """(clip_id, canonical_id): canonical = min clip_id among
-        byte-identical clips. One JVM sha256 projection + one groupBy on
-        the digest (uniform key, no skew) + one map-side join back."""
-        h = clips.select("clip_id", F.sha2(F.col("bytes"), 256).alias("_h"))
+        content-identical clips. One digest projection + one groupBy on
+        the digest (uniform key, no skew) + one map-side join back.
+
+        Identity: sha256(bytes) by default (byte-identical re-uploads);
+        with normalize_pcm, sha256(decoded PCM) || sha256(transcript) --
+        strictly coarser on the payload (lossless cross-codec twins
+        collapse) while the transcript term keeps clips with identical
+        audio but different text apart (their text-channel signatures
+        differ, so collapsing them would change clustering inputs)."""
+        if self.cfg.normalize_pcm:
+            from ..operators import multimodal
+
+            pcm_sha = multimodal.make_pcm_sha_udf()
+            h = clips.select(
+                "clip_id",
+                F.concat(
+                    pcm_sha(F.col("bytes"), F.col("codec")),
+                    F.sha2(F.coalesce(F.col("transcript"), F.lit("")), 256),
+                ).alias("_h"),
+            )
+        else:
+            h = clips.select(
+                "clip_id", F.sha2(F.col("bytes"), 256).alias("_h"))
         canon = h.groupBy("_h").agg(F.min("clip_id").alias("canonical_id"))
         return h.join(canon, "_h").select("clip_id", "canonical_id")
 
@@ -217,10 +256,12 @@ class Pipeline:
         memory-bound escape hatch and must be observable, never silent."""
         cfg = self.cfg
         if cfg.max_cell_bytes is None:
+            codec_col = "codec" if cfg.normalize_pcm else None
             return self.stage(
                 "chunks_pcm",
                 lambda: chunking.chunk_clips(
-                    clips, cfg.algorithm, cfg.chunk_opts, digest=cfg.digest_kind),
+                    clips, cfg.algorithm, cfg.chunk_opts,
+                    digest=cfg.digest_kind, codec_col=codec_col),
             )
 
         from ..cdc.opts import resolve
@@ -269,6 +310,12 @@ class Pipeline:
 
     def run(self, clips: DataFrame) -> DataFrame:
         cfg = self.cfg
+        if cfg.normalize_pcm and cfg.max_cell_bytes is not None:
+            raise ValueError(
+                "normalize_pcm is incompatible with max_cell_bytes: the "
+                "ranged chunker seek-reads raw byte ranges and compressed "
+                "payloads are not range-decodable here; route oversized "
+                "clips through a separate non-normalized pipeline")
 
         groups = None
         if cfg.exact_first:
