@@ -43,10 +43,14 @@ def stream_clips(spark: SparkSession, path: str, max_files_per_trigger: int = 4)
 
 
 def stream_chunks(clips_stream: DataFrame, algorithm: str = "fastcdc-v1.0.0",
-                  opts: ChunkerOpts | None = None) -> DataFrame:
+                  opts: ChunkerOpts | None = None,
+                  normalize_pcm: bool = False) -> DataFrame:
     """Stateless streaming chunking: identical operator as batch (the kernel
-    carries no cross-row state, so boundaries match the batch run exactly)."""
-    return chunk_clips(clips_stream, algorithm, opts)
+    carries no cross-row state, so boundaries match the batch run exactly).
+    normalize_pcm chunks the decoded PCM stream via the same decode-fused
+    UDF as the batch pipeline (chunk_clips codec_col)."""
+    return chunk_clips(clips_stream, algorithm, opts,
+                       codec_col="codec" if normalize_pcm else None)
 
 
 TS_CLIPS_SCHEMA = T.StructType(
@@ -141,11 +145,13 @@ def streaming_exact_dedup(
 
 def run_ingest_to_memory(spark: SparkSession, path: str, query_name: str,
                          algorithm: str = "fastcdc-v1.0.0",
-                         opts: ChunkerOpts | None = None):
+                         opts: ChunkerOpts | None = None,
+                         normalize_pcm: bool = False):
     """Drive the stream synchronously to completion into an in-memory sink
     (test/smoke harness). Returns the StreamingQuery (stopped)."""
     q = (
-        stream_chunks(stream_clips(spark, path), algorithm, opts)
+        stream_chunks(stream_clips(spark, path), algorithm, opts,
+                      normalize_pcm=normalize_pcm)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)

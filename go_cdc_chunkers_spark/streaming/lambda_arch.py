@@ -253,7 +253,9 @@ def make_signature_sink(store_dir: str, cfg: PipelineConfig | None = None,
         try:
             _append(batch_df.select(*CLIP_COLS), store_dir, "clips", batch_id)
             chunks = chunking.chunk_clips(
-                batch_df, cfg.algorithm, cfg.chunk_opts, digest=cfg.digest_kind
+                batch_df, cfg.algorithm, cfg.chunk_opts,
+                digest=cfg.digest_kind,
+                codec_col="codec" if cfg.normalize_pcm else None,
             ).persist()
             try:
                 _append(chunks, store_dir, "chunks_pcm", batch_id)

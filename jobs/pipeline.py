@@ -50,6 +50,14 @@ def main() -> int:
                     help="route clips larger than this through the bounded-"
                          "memory ranged chunker (PipelineConfig."
                          "max_cell_bytes; chunks byte-identical either way)")
+    ap.add_argument("--normalize-pcm", action="store_true",
+                    help="chunk each clip's DECODED PCM instead of its "
+                         "storage bytes (PipelineConfig.normalize_pcm): "
+                         "cross-codec lossless re-uploads dedup together")
+    ap.add_argument("--mixed-codecs", action="store_true",
+                    help="with --synthetic: deterministically re-encode a "
+                         "third of the clips as FLAC and a third as WAV "
+                         "(same audio), to exercise --normalize-pcm")
     args = ap.parse_args()
 
     from go_cdc_chunkers_spark.plans.pipeline import Pipeline, PipelineConfig
@@ -61,6 +69,34 @@ def main() -> int:
 
     if args.synthetic:
         rows, _ = clips_src.generate_clips(n_base=args.synthetic)
+        if args.mixed_codecs:
+            import numpy as np
+
+            from go_cdc_chunkers_spark.operators.flac import flac_encode
+
+            def _wav(pcm16, sr):
+                payload = pcm16.tobytes()
+                fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                       + sr.to_bytes(4, "little")
+                       + (sr * 2).to_bytes(4, "little")
+                       + (2).to_bytes(2, "little")
+                       + (16).to_bytes(2, "little"))
+                body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                body += b"data" + len(payload).to_bytes(4, "little") + payload
+                if len(payload) % 2:
+                    body += b"\x00"
+                return (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
+                        + b"WAVE" + body)
+
+            for i, r in enumerate(rows):
+                pcm = np.frombuffer(r["bytes"], dtype="<i2")
+                if i % 3 == 1:
+                    r["bytes"] = bytes(
+                        flac_encode(pcm.astype(np.int64), r["sr_hz"]))
+                    r["codec"] = "flac"
+                elif i % 3 == 2:
+                    r["bytes"] = _wav(pcm, r["sr_hz"])
+                    r["codec"] = "wav"
         clips = spark.createDataFrame(
             [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
               r["codec"], r["transcript"]) for r in rows],
@@ -75,7 +111,8 @@ def main() -> int:
 
     cfg = PipelineConfig(algorithm=args.algorithm, use_audio_fp=args.audio_fp,
                          digest_kind=args.digest, exact_first=args.exact_first,
-                         max_cell_bytes=args.max_cell_bytes)
+                         max_cell_bytes=args.max_cell_bytes,
+                         normalize_pcm=args.normalize_pcm)
     t0 = time.time()
     pipe = Pipeline(spark, args.workdir, cfg)
     comps = pipe.run(clips)

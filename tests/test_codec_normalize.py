@@ -195,6 +195,52 @@ def test_exact_first_collapses_cross_codec_twins(spark, mixed_corpus,
     assert groups[lossy_id] == lossy_id
 
 
+def test_streaming_normalized_chunks_equal_batch(spark, tmp_path):
+    """The streaming face of the same contract: stream_chunks(
+    normalize_pcm=True) over a mixed-codec source produces exactly the
+    batch decode-fused chunk relation, and a FLAC twin's chunk rows equal
+    its PCM base's (modulo clip_id) inside the streamed output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_cdc_chunkers_spark.streaming.ingest import run_ingest_to_memory
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(6):
+        pcm = rng.integers(-6000, 6000, 30000 + 700 * i).astype(np.int16)
+        rows.append((f"p{i}", pcm.tobytes(), "pcm_s16le"))
+        if i < 2:
+            rows.append((f"p{i}_flac",
+                         bytes(flac_encode(pcm.astype(np.int64), 16000)),
+                         "flac"))
+    src = str(tmp_path / "clips.parquet")
+    pq.write_table(pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "sr_hz": pa.array([16000] * len(rows), pa.int32()),
+        "dur_ms": pa.array([0] * len(rows), pa.int32()),
+        "codec": pa.array([r[2] for r in rows], pa.string()),
+        "transcript": pa.array([""] * len(rows), pa.string()),
+    }), src)
+    run_ingest_to_memory(spark, str(tmp_path), "norm_stream_out",
+                         opts=OPTS, normalize_pcm=True)
+    got = sorted(
+        (r.clip_id, r.chunk_idx, r.offset, r.length, bytes(r.chunk_hash))
+        for r in spark.sql("SELECT * FROM norm_stream_out").collect())
+    batch = chunking.chunk_clips(spark.read.parquet(src), "fastcdc-v1.0.0",
+                                 OPTS, codec_col="codec")
+    want = sorted(
+        (r.clip_id, r.chunk_idx, r.offset, r.length, bytes(r.chunk_hash))
+        for r in batch.collect())
+    assert got == want and len(got) > 0
+    by_clip = {}
+    for cid, idx, off, ln, h in got:
+        by_clip.setdefault(cid, []).append((idx, off, ln, h))
+    for i in range(2):
+        assert by_clip[f"p{i}_flac"] == by_clip[f"p{i}"]
+
+
 def test_normalize_pcm_rejects_max_cell_bytes(spark, mixed_corpus):
     df, *_ = mixed_corpus
     pipe = Pipeline(spark, "/tmp/unused_norm_guard",
