@@ -242,3 +242,90 @@ void digest_poly128(const uint8_t *data, int64_t total,
         pos = e;
     }
 }
+
+/* ---- FLAC entropy fast path (operators/flac.py) ----------------------
+   Rice-partition decode and LPC restore are the two genuinely sequential
+   loops in FLAC decoding (everything else in operators/flac.py is numpy).
+   Semantics are a 1:1 port of the pure-Python reference in flac.py
+   (_read_residual's per-code loop and _undo_lpc), which stays as the
+   differentially-tested fallback. */
+
+/* Decode n rice(k) codes -- unary quotient (a run of 0 bits terminated
+   by a 1) then k fixed bits, zigzag-mapped to signed -- starting at bit
+   offset pos of an MSB-first stream holding nbits valid bits. Returns
+   the new bit position, or -1 on truncation. */
+int64_t rice_decode(const uint8_t *buf, int64_t nbits, int64_t pos,
+                    int k, int64_t n, int64_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t q = 0;
+        for (;;) {
+            if (pos >= nbits) return -1;
+            if ((pos & 7) == 0) { /* skip whole zero bytes */
+                while (pos + 8 <= nbits && buf[pos >> 3] == 0) {
+                    pos += 8;
+                    q += 8;
+                }
+                if (pos >= nbits) return -1;
+            }
+            int bit = (buf[pos >> 3] >> (7 - (pos & 7))) & 1;
+            pos++;
+            if (bit) break;
+            q++;
+        }
+        uint64_t v = (uint64_t)q << k;
+        if (k) {
+            if (pos + k > nbits) return -1;
+            uint64_t r = 0;
+            int64_t p = pos;
+            int rem = k;
+            while (rem > 0) {
+                int off = (int)(p & 7);
+                int take = 8 - off;
+                if (take > rem) take = rem;
+                uint8_t byte = buf[p >> 3];
+                r = (r << take)
+                    | (uint64_t)((byte >> (8 - off - take))
+                                 & (uint8_t)((1u << take) - 1u));
+                p += take;
+                rem -= take;
+            }
+            pos = p;
+            v |= r;
+        }
+        out[i] = (int64_t)(v >> 1) ^ -((int64_t)(v & 1)); /* zigzag */
+    }
+    return pos;
+}
+
+/* In-place LPC restore: out[0..order-1] carries the warmup and
+   out[order+i] the residual; coefs_rev is the coefficient vector
+   reversed so it aligns with out[i..i+order-1]. gcc's >> on int64 is
+   arithmetic, matching Python's floor-shift semantics. */
+void lpc_restore(int64_t *out, int64_t n_res, int order,
+                 const int64_t *coefs_rev, int shift) {
+    for (int64_t i = 0; i < n_res; i++) {
+        int64_t acc = 0;
+        const int64_t *w = out + i;
+        for (int j = 0; j < order; j++)
+            acc += w[j] * coefs_rev[j];
+        out[order + i] += acc >> shift;
+    }
+}
+
+/* Table-driven CRC over a byte range (FLAC frame CRC-8 poly 0x07 /
+   CRC-16 poly 0x8005; the table is built in Python -- flac.py
+   _crc_table -- and passed in, so C holds no codec constants). */
+uint32_t crc_bytes(const uint8_t *data, int64_t n, const uint32_t *tab,
+                   int width, uint32_t init) {
+    uint32_t c = init;
+    uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+    if (width == 8) {
+        for (int64_t i = 0; i < n; i++)
+            c = tab[(c ^ data[i]) & 0xFFu];
+    } else {
+        for (int64_t i = 0; i < n; i++)
+            c = (tab[((c >> (width - 8)) ^ data[i]) & 0xFFu]
+                 ^ (c << 8)) & mask;
+    }
+    return c & mask;
+}

@@ -125,6 +125,20 @@ def _build() -> ctypes.CDLL | None:
         _U8P, ctypes.c_int64, _I64P, ctypes.c_int64,
         ctypes.c_uint64, ctypes.c_uint64, _U64P,
     ]
+    lib.rice_decode.restype = ctypes.c_int64
+    lib.rice_decode.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, _I64P,
+    ]
+    lib.lpc_restore.restype = None
+    lib.lpc_restore.argtypes = [
+        _I64P, ctypes.c_int64, ctypes.c_int, _I64P, ctypes.c_int,
+    ]
+    lib.crc_bytes.restype = ctypes.c_uint32
+    lib.crc_bytes.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int, ctypes.c_uint32,
+    ]
     return lib
 
 
@@ -192,6 +206,58 @@ def split_lengths_native(r, arr: np.ndarray, gear_table: np.ndarray | None):
     else:
         return None
     return out[:cnt].tolist()
+
+
+def rice_decode_native(buf_u8: np.ndarray, nbits: int, pos: int, k: int,
+                       n: int):
+    """Decode n rice(k) codes from an MSB-first bit stream (the FLAC
+    residual hot loop, operators/flac.py). Returns (values int64[n],
+    new bit position), None when no native path exists, or raises
+    ValueError on truncation -- mirroring the Python reference."""
+    lib = _lib()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    newpos = lib.rice_decode(
+        buf_u8.ctypes.data_as(_U8P), nbits, pos, k, n,
+        out.ctypes.data_as(_I64P),
+    )
+    if newpos < 0:
+        raise ValueError("flac: bitstream truncated in unary code")
+    return out, int(newpos)
+
+
+def lpc_restore_native(warmup, res, coefs, shift: int):
+    """FLAC LPC inversion via C (operators/flac.py _undo_lpc semantics),
+    or None when no native path exists."""
+    lib = _lib()
+    if lib is None:
+        return None
+    order = len(coefs)
+    out = np.empty(order + len(res), dtype=np.int64)
+    out[:order] = warmup
+    out[order:] = res
+    c = np.ascontiguousarray(list(coefs)[::-1], dtype=np.int64)
+    lib.lpc_restore(
+        out.ctypes.data_as(_I64P), len(res), order,
+        c.ctypes.data_as(_I64P), shift,
+    )
+    return out
+
+
+def crc_bytes_native(data: np.ndarray, tab: np.ndarray, width: int,
+                     init: int = 0):
+    """Table-driven CRC over a uint8 array (FLAC frame CRCs), or None
+    when no native path exists. `tab` is the 256-entry uint32 table."""
+    lib = _lib()
+    if lib is None:
+        return None
+    data = _as_u8(data)
+    tab = np.ascontiguousarray(tab, dtype=np.uint32)
+    return int(lib.crc_bytes(
+        data.ctypes.data_as(_U8P), len(data),
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), width, init,
+    ))
 
 
 def digest_poly128_native(arr: np.ndarray, lengths, p1: int, p2: int):
