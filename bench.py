@@ -38,7 +38,9 @@ chunking vs whole-buffer, stitch overhead + identity), --ab-pipeline
 (interleaved fresh-JVM neardup_pipeline, head tree vs a snapshot-commit
 worktree, default = previous round; SPARK_GRAFT_AB_REF overrides),
 --rss (peak process-tree RSS per pipeline mode), --exact-first
-(canonical-first per-stage savings).
+(canonical-first per-stage savings), --normalize (codec-normalized
+chunking: per-container MB-of-PCM/s, FLAC decode cost, cross-container
+chunk identity).
 """
 
 from __future__ import annotations
@@ -823,6 +825,99 @@ def bigfile_evidence(cpus: int) -> dict:
     return ev
 
 
+def normalize_evidence(cpus: int, n_clips: int = 64,
+                       clip_mb: float = 1.0) -> dict:
+    """Codec-normalized chunking cost (PipelineConfig.normalize_pcm):
+    the same speech-ish PCM corpus stored as raw pcm_s16le, WAV, and
+    FLAC, chunked through the decode-fused UDF. Reports per-container
+    chunk-stage MB-of-PCM/s (warm best-of-3), the decode overhead ratio
+    vs raw, chunk-relation identity across containers (the invariance
+    the driver query cdc_codec_invariant_chunks pins at sf scale), and
+    the single-core FLAC decode rate. The honest headline: FLAC decode
+    (~25 MB/s/core C-kernel entropy loops) dominates a FLAC corpus's
+    chunking cost; it is embarrassingly parallel across clips, so the
+    100 TB answer is cores, not shuffle."""
+    import numpy as np
+
+    from go_cdc_chunkers_spark.cdc.opts import ChunkerOpts
+    from go_cdc_chunkers_spark.operators import chunking
+    from go_cdc_chunkers_spark.operators.flac import flac_decode, flac_encode
+    from go_cdc_chunkers_spark.session import get_spark
+
+    rng = np.random.default_rng(17)
+    n_samp = int(clip_mb * 1e6 / 2)
+    t = np.arange(n_samp)
+    clips = []
+    for i in range(n_clips):
+        sig = (3000 * np.sin(2 * np.pi * (180 + 7 * i) * t / 16000)
+               + rng.normal(0, 250, n_samp)).astype(np.int16)
+        clips.append(sig)
+    pcm_mb = n_clips * n_samp * 2 / 1e6
+
+    def wav_of(p):
+        payload = p.tobytes()
+        fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little")
+               + (32000).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+        body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        body += b"data" + len(payload).to_bytes(4, "little") + payload
+        return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
+                + body)
+
+    enc = {
+        "pcm_s16le": [bytearray(p.tobytes()) for p in clips],
+        "wav": [bytearray(wav_of(p)) for p in clips],
+        "flac": [bytearray(bytes(flac_encode(p.astype(np.int64), 16000)))
+                 for p in clips],
+    }
+    # single-core decode rate (the per-task cost a planner would budget)
+    one = bytes(enc["flac"][0])
+    flac_decode(one)
+    t0 = time.time()
+    for _ in range(3):
+        flac_decode(one)
+    core_mb_s = round(n_samp * 2 / 1e6 / ((time.time() - t0) / 3), 1)
+
+    spark = get_spark(app="bench-normalize", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    opts = ChunkerOpts(min_size=2048, normal_size=8192, max_size=65536)
+    ev: dict = {"n_clips": n_clips, "pcm_mb": round(pcm_mb, 1),
+                "flac_ratio": round(
+                    sum(len(b) for b in enc["flac"]) / (pcm_mb * 1e6), 3),
+                "flac_decode_mb_per_sec_1core": core_mb_s}
+    try:
+        profiles = {}
+        for codec, payloads in enc.items():
+            df = spark.createDataFrame(
+                [(f"c{i}", b, codec) for i, b in enumerate(payloads)],
+                "clip_id string, bytes binary, codec string",
+            ).repartition(cpus).cache()
+            df.count()
+            ch = chunking.chunk_clips(df, "fastcdc-v1.0.0", opts,
+                                      codec_col="codec")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                n = ch.count()
+                best = min(best, time.time() - t0)
+            from pyspark.sql import functions as F
+            profiles[codec] = ch.agg(
+                F.count("*"), F.sum("length"),
+                F.sum(F.crc32(F.col("chunk_hash")))).first()
+            ev[f"mb_pcm_per_sec_{codec}"] = round(pcm_mb / best, 1)
+            ev[f"n_chunks_{codec}"] = int(n)
+            df.unpersist()
+        base = profiles["pcm_s16le"]
+        ev["chunks_identical_across_containers"] = all(
+            tuple(profiles[c]) == tuple(base) for c in ("wav", "flac"))
+        ev["flac_overhead_x"] = round(
+            ev["mb_pcm_per_sec_pcm_s16le"] / ev["mb_pcm_per_sec_flac"], 2)
+    finally:
+        spark.stop()
+    return ev
+
+
 def ab_pipeline_run(cpus: int, n_base: int, rounds: int = 3) -> dict:
     """Interleaved fresh-JVM A/B of neardup_pipeline: this tree ("head")
     vs a snapshot commit ("base", git worktree under /tmp), alternating
@@ -981,6 +1076,11 @@ def main():
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--ab-pipeline":
         print(json.dumps(ab_pipeline_run(cpus, n_base)))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--normalize":
+        print(json.dumps({"metric": "codec_normalized_chunking",
+                          **normalize_evidence(cpus)}))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--rss":
