@@ -9,9 +9,14 @@ filters from the public spec (RFC 2083 / W3C PNG): this module decodes
 8-bit-depth grayscale (color type 0), RGB (2), palette (3), gray+alpha
 (4) and RGBA (6) images for real, with chunk-CRC verification.
 
-Honest limits (raise, never guess): Adam7 interlace, bit depths other
-than 8, and palette transparency (tRNS) are rejected with
-``NotImplementedError``; malformed structure raises ``ValueError``.
+Adam7 interlace (method 1) is decoded for real: the IDAT stream is the
+concatenation of 7 independently-filtered sub-images whose pixels
+scatter back onto the ``y0::dy, x0::dx`` grids of the public spec's
+pass layout -- pure numpy strided assignment, no per-pixel Python.
+
+Honest limits (raise, never guess): bit depths other than 8 and palette
+transparency (tRNS) are rejected with ``NotImplementedError``;
+malformed structure raises ``ValueError``.
 
 ``png_encode`` is the inverse (used for round-trip oracles and as a real
 sink face); its ``filter_mode="cycle"`` applies scanline filter
@@ -32,6 +37,24 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass layout (spec section 8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, wp, hp) per pass; wp/hp are the sub-image dims
+    (0 when the pass has no pixels for this geometry -- such passes
+    contribute zero scanlines to the IDAT stream, per spec)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        out.append((x0, y0, dx, dy, wp, hp))
+    return out
 
 
 def _chunks(raw: bytes) -> list[tuple[bytes, bytes]]:
@@ -120,9 +143,7 @@ def png_pixels(raw: bytes) -> np.ndarray:
         raise ValueError("png: nonpositive dimensions")
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("png: Adam7 interlace not supported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"png: only bit depth 8 (got {depth})")
@@ -137,11 +158,29 @@ def png_pixels(raw: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("png: no IDAT data")
     scan = zlib.decompress(idat)
-    if len(scan) != h * (stride + 1):
-        raise ValueError(
-            f"png: scanline bytes {len(scan)} != h*(1+stride) {h * (stride + 1)}")
-    arr = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
-    px = _unfilter(arr, stride, nch).reshape(h, w, nch)
+    if interlace == 0:
+        if len(scan) != h * (stride + 1):
+            raise ValueError(
+                f"png: scanline bytes {len(scan)} != h*(1+stride) {h * (stride + 1)}")
+        arr = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
+        px = _unfilter(arr, stride, nch).reshape(h, w, nch)
+    else:
+        passes = _adam7_passes(w, h)
+        want = sum(hp * (wp * nch + 1) for *_, wp, hp in passes if wp and hp)
+        if len(scan) != want:
+            raise ValueError(
+                f"png: interlaced scanline bytes {len(scan)} != expected {want}")
+        px = np.empty((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            if not wp or not hp:
+                continue
+            sub_stride = wp * nch
+            nbytes = hp * (sub_stride + 1)
+            arr = np.frombuffer(scan[pos:pos + nbytes], dtype=np.uint8)
+            sub = _unfilter(arr.reshape(hp, sub_stride + 1), sub_stride, nch)
+            px[y0::dy, x0::dx] = sub.reshape(hp, wp, nch)
+            pos += nbytes
 
     out = np.empty((h, w, 4), dtype=np.uint8)
     if ctype == 0:
@@ -205,13 +244,15 @@ def _filter_row(cur: np.ndarray, prev: np.ndarray, f: int, bpp: int) -> np.ndarr
 
 
 def png_encode(img: np.ndarray, ctype: int, palette: np.ndarray | None = None,
-               filter_mode: str = "cycle") -> bytes:
-    """Encode uint8 pixel data as a PNG (bit depth 8, no interlace).
+               filter_mode: str = "cycle", interlace: bool = False) -> bytes:
+    """Encode uint8 pixel data as a PNG (bit depth 8).
 
     img shape by color type: 0/3 -> HxW (gray value / palette index),
     4 -> HxWx2, 2 -> HxWx3, 6 -> HxWx4. filter_mode: "cycle" applies
     scanline filter row%5 (exercises every filter type); "none" uses
-    filter 0 throughout.
+    filter 0 throughout. interlace=True writes Adam7: each of the 7
+    pass sub-images (``img[y0::dy, x0::dx]``) is filtered independently
+    with its own previous-row state, concatenated in pass order.
     """
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {ctype}")
@@ -222,18 +263,29 @@ def png_encode(img: np.ndarray, ctype: int, palette: np.ndarray | None = None,
     if img.ndim != 3 or img.shape[2] != nch:
         raise ValueError(f"png: color type {ctype} wants {nch} channel(s)")
     h, w = img.shape[0], img.shape[1]
-    flat = img.reshape(h, w * nch)
 
-    rows = bytearray()
-    zero = np.zeros(w * nch, dtype=np.uint8)
-    for y in range(h):
-        f = (y % 5) if filter_mode == "cycle" else 0
-        prev = flat[y - 1] if y else zero
-        rows.append(f)
-        rows += _filter_row(flat[y], prev, f, nch).tobytes()
+    def _filter_image(sub: np.ndarray) -> bytearray:
+        sh, sw = sub.shape[0], sub.shape[1]
+        flat = np.ascontiguousarray(sub).reshape(sh, sw * nch)
+        out = bytearray()
+        zero = np.zeros(sw * nch, dtype=np.uint8)
+        for y in range(sh):
+            f = (y % 5) if filter_mode == "cycle" else 0
+            prev = flat[y - 1] if y else zero
+            out.append(f)
+            out += _filter_row(flat[y], prev, f, nch).tobytes()
+        return out
+
+    if interlace:
+        rows = bytearray()
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+            if wp and hp:
+                rows += _filter_image(img[y0::dy, x0::dx])
+    else:
+        rows = _filter_image(img)
 
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, ctype, 0, 0, 0]))
+            + bytes([8, ctype, 0, 0, int(interlace)]))
     body = _chunk(b"IHDR", ihdr)
     if ctype == 3:
         if palette is None:

@@ -175,9 +175,84 @@ def _ihdr_png(depth=8, ctype=2, interlace=0, w=3, h=2):
             + P._chunk(b"IDAT", zlib.compress(scan)) + P._chunk(b"IEND", b""))
 
 
-def test_interlace_raises():
-    with pytest.raises(NotImplementedError, match="Adam7"):
+def test_interlace_bad_byte_count_raises():
+    # interlace=1 with a NON-interlaced scanline payload: the per-pass
+    # byte accounting must catch it (w=3,h=2 progressive is 2*(1+9)=20
+    # bytes; Adam7 wants 1 pass-1 + 1 pass-6 + 1 pass-7 row = 24).
+    with pytest.raises(ValueError, match="interlaced scanline bytes"):
         P.png_pixels(_ihdr_png(interlace=1))
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace
+# ---------------------------------------------------------------------------
+
+# Pass layout restated independently from the spec (section 8.2), NOT
+# imported from the module under test.
+_ADAM7_SPEC = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def hand_interlaced_png(img: np.ndarray, ctype: int) -> bytes:
+    """Assemble an Adam7 PNG with per-pixel Python loops and filter-0
+    rows only -- fully independent of png_encode's interlace path."""
+    h, w = img.shape[0], img.shape[1]
+    nch = P._PNG_CHANNELS[ctype]
+    px = img.reshape(h, w, nch)
+    rows = bytearray()
+    for x0, y0, dx, dy in _ADAM7_SPEC:
+        for y in range(y0, h, dy):
+            line = bytearray([0])
+            for x in range(x0, w, dx):
+                for c in range(nch):
+                    line.append(int(px[y, x, c]))
+            if len(line) > 1:
+                rows += line
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 1]))
+    return (P._PNG_SIG + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + P._chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 3), (8, 8), (9, 10), (37, 23)])
+def test_interlaced_decode_matches_hand_assembly(ctype, nch, w, h):
+    rng = np.random.default_rng(7000 + ctype * 100 + w * 7 + h)
+    img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+    got = P.png_pixels(hand_interlaced_png(img, ctype))
+    assert got.shape == (h, w, 4)
+    if ctype == 0:
+        assert (got[:, :, 0] == img[:, :, 0]).all()
+    elif ctype == 2:
+        assert (got[:, :, :3] == img).all()
+    elif ctype == 4:
+        assert (got[:, :, 0] == img[:, :, 0]).all()
+        assert (got[:, :, 3] == img[:, :, 1]).all()
+    else:
+        assert (got == img).all()
+
+
+@pytest.mark.parametrize("ctype", [0, 2, 3, 4, 6])
+@pytest.mark.parametrize("w,h", [(3, 2), (16, 16), (37, 23)])
+def test_interlaced_roundtrip_equals_progressive(ctype, w, h):
+    rng = np.random.default_rng(9000 + ctype * 10 + w)
+    pal = None
+    if ctype == 3:
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        img = rng.integers(0, 17, (h, w), dtype=np.uint8)
+    elif ctype == 0:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w, P._PNG_CHANNELS[ctype]),
+                           dtype=np.uint8)
+    inter = P.png_pixels(P.png_encode(img, ctype, palette=pal,
+                                      filter_mode="cycle", interlace=True))
+    prog = P.png_pixels(P.png_encode(img, ctype, palette=pal,
+                                     filter_mode="cycle"))
+    assert (inter == prog).all()
 
 
 def test_depth16_raises():
