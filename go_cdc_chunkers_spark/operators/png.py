@@ -14,9 +14,14 @@ concatenation of 7 independently-filtered sub-images whose pixels
 scatter back onto the ``y0::dy, x0::dx`` grids of the public spec's
 pass layout -- pure numpy strided assignment, no per-pixel Python.
 
-Honest limits (raise, never guess): bit depths other than 8 and palette
-transparency (tRNS) are rejected with ``NotImplementedError``;
-malformed structure raises ``ValueError``.
+All legal depth x color-type combinations decode: sub-byte depths
+(1/2/4, gray + palette) unpack MSB-first via ``np.unpackbits`` + a
+bit-weight matmul, 16-bit samples decode big-endian and canonicalize
+to 8-bit (>>8); tRNS supplies palette alpha (color type 3) or a
+transparent-color key matched against pre-scaling samples (0/2).
+Output is always canonical HxWx4 RGBA uint8.
+
+Honest limit: malformed structure raises ``ValueError``.
 
 ``png_encode`` is the inverse (used for round-trip oracles and as a real
 sink face); its ``filter_mode="cycle"`` applies scanline filter
@@ -35,8 +40,12 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel at bit depth 8
+# color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# legal bit depths per color type (spec section 6.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 # Adam7 pass layout (spec section 8.2): (x0, y0, dx, dy) per pass.
 _ADAM7 = (
@@ -125,10 +134,39 @@ def _unfilter(arr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
+def _row_bytes(width: int, nch: int, depth: int) -> int:
+    """Packed scanline bytes for one row (spec: samples packed MSB-first,
+    rows padded to a byte boundary)."""
+    return (width * nch * depth + 7) // 8
+
+
+def _decode_subimage(scan: bytes, width: int, height: int, nch: int,
+                     depth: int) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image; returns (height, width*nch)
+    uint16 samples in the RAW depth range (no display scaling)."""
+    rb = _row_bytes(width, nch, depth)
+    bpp = max(1, nch * depth // 8)
+    arr = np.frombuffer(scan, dtype=np.uint8).reshape(height, rb + 1)
+    recon = _unfilter(arr, rb, bpp)
+    if depth == 8:
+        return recon.astype(np.uint16)
+    if depth == 16:
+        return np.ascontiguousarray(recon).view(">u2").astype(np.uint16)
+    # sub-byte depths are gray/palette only => nch == 1
+    bits = np.unpackbits(recon, axis=1)
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    samples = (bits.reshape(height, -1, depth) << shifts).sum(
+        axis=2, dtype=np.uint16)
+    return samples[:, :width]
+
+
 def png_pixels(raw: bytes) -> np.ndarray:
     """Decode a PNG to canonical HxWx4 RGBA uint8.
 
-    Gray expands to r=g=b=v; palette indexes PLTE; missing alpha is 255.
+    Gray expands to r=g=b=v; palette indexes PLTE; alpha comes from the
+    channel, tRNS (palette entries / transparent-color key), or 255.
+    Sample depths canonicalize to 8 bits (16-bit >> 8; sub-byte scaled
+    by the exact 255/(2^d-1) integer factor).
     """
     if not raw.startswith(_PNG_SIG):
         raise ValueError("png: bad signature")
@@ -145,50 +183,67 @@ def png_pixels(raw: bytes) -> np.ndarray:
         raise ValueError("png: unknown compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"png: only bit depth 8 (got {depth})")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {ctype}")
-    if any(t == b"tRNS" for t, _ in chunks):
-        raise NotImplementedError("png: tRNS palette transparency not supported")
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"png: illegal depth {depth} for color type {ctype}")
+    trns = [d for t, d in chunks if t == b"tRNS"]
+    if len(trns) > 1 or (trns and ctype in (4, 6)):
+        raise ValueError("png: invalid tRNS placement")
 
     nch = _PNG_CHANNELS[ctype]
-    stride = w * nch
     idat = b"".join(d for t, d in chunks if t == b"IDAT")
     if not idat:
         raise ValueError("png: no IDAT data")
     scan = zlib.decompress(idat)
     if interlace == 0:
-        if len(scan) != h * (stride + 1):
+        want = h * (_row_bytes(w, nch, depth) + 1)
+        if len(scan) != want:
             raise ValueError(
-                f"png: scanline bytes {len(scan)} != h*(1+stride) {h * (stride + 1)}")
-        arr = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
-        px = _unfilter(arr, stride, nch).reshape(h, w, nch)
+                f"png: scanline bytes {len(scan)} != expected {want}")
+        raw_s = _decode_subimage(scan, w, h, nch, depth).reshape(h, w, nch)
     else:
         passes = _adam7_passes(w, h)
-        want = sum(hp * (wp * nch + 1) for *_, wp, hp in passes if wp and hp)
+        want = sum(hp * (_row_bytes(wp, nch, depth) + 1)
+                   for *_, wp, hp in passes if wp and hp)
         if len(scan) != want:
             raise ValueError(
                 f"png: interlaced scanline bytes {len(scan)} != expected {want}")
-        px = np.empty((h, w, nch), dtype=np.uint8)
+        raw_s = np.empty((h, w, nch), dtype=np.uint16)
         pos = 0
         for x0, y0, dx, dy, wp, hp in passes:
             if not wp or not hp:
                 continue
-            sub_stride = wp * nch
-            nbytes = hp * (sub_stride + 1)
-            arr = np.frombuffer(scan[pos:pos + nbytes], dtype=np.uint8)
-            sub = _unfilter(arr.reshape(hp, sub_stride + 1), sub_stride, nch)
-            px[y0::dy, x0::dx] = sub.reshape(hp, wp, nch)
+            nbytes = hp * (_row_bytes(wp, nch, depth) + 1)
+            sub = _decode_subimage(scan[pos:pos + nbytes], wp, hp, nch, depth)
+            raw_s[y0::dy, x0::dx] = sub.reshape(hp, wp, nch)
             pos += nbytes
+
+    # display canonicalization to 8-bit (palette indexes stay raw)
+    if ctype == 3 or depth == 8:
+        px = raw_s.astype(np.uint8)
+    elif depth == 16:
+        px = (raw_s >> 8).astype(np.uint8)
+    else:
+        px = (raw_s * (255 // ((1 << depth) - 1))).astype(np.uint8)
 
     out = np.empty((h, w, 4), dtype=np.uint8)
     if ctype == 0:
         out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = px[:, :, 0]
         out[:, :, 3] = 255
+        if trns:
+            if len(trns[0]) != 2:
+                raise ValueError("png: gray tRNS must be 2 bytes")
+            key = int.from_bytes(trns[0], "big")
+            out[:, :, 3] = np.where(raw_s[:, :, 0] == key, 0, 255)
     elif ctype == 2:
         out[:, :, :3] = px
         out[:, :, 3] = 255
+        if trns:
+            if len(trns[0]) != 6:
+                raise ValueError("png: RGB tRNS must be 6 bytes")
+            key = np.frombuffer(trns[0], dtype=">u2").astype(np.uint16)
+            out[:, :, 3] = np.where((raw_s == key).all(axis=2), 0, 255)
     elif ctype == 3:
         plte = [d for t, d in chunks if t == b"PLTE"]
         if len(plte) != 1 or len(plte[0]) % 3 != 0 or not plte[0]:
@@ -198,7 +253,14 @@ def png_pixels(raw: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("png: palette index out of range")
         out[:, :, :3] = pal[idx]
-        out[:, :, 3] = 255
+        if trns:
+            if len(trns[0]) > pal.shape[0]:
+                raise ValueError("png: tRNS longer than palette")
+            pal_a = np.full(pal.shape[0], 255, dtype=np.uint8)
+            pal_a[:len(trns[0])] = np.frombuffer(trns[0], dtype=np.uint8)
+            out[:, :, 3] = pal_a[idx]
+        else:
+            out[:, :, 3] = 255
     elif ctype == 4:
         out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = px[:, :, 0]
         out[:, :, 3] = px[:, :, 1]
@@ -244,7 +306,8 @@ def _filter_row(cur: np.ndarray, prev: np.ndarray, f: int, bpp: int) -> np.ndarr
 
 
 def png_encode(img: np.ndarray, ctype: int, palette: np.ndarray | None = None,
-               filter_mode: str = "cycle", interlace: bool = False) -> bytes:
+               filter_mode: str = "cycle", interlace: bool = False,
+               trns: np.ndarray | None = None) -> bytes:
     """Encode uint8 pixel data as a PNG (bit depth 8).
 
     img shape by color type: 0/3 -> HxW (gray value / palette index),
@@ -296,6 +359,13 @@ def png_encode(img: np.ndarray, ctype: int, palette: np.ndarray | None = None,
         if int(img.max(initial=0)) >= pal.shape[0]:
             raise ValueError("png: palette index out of range")
         body += _chunk(b"PLTE", pal.tobytes())
+        if trns is not None:
+            ta = np.asarray(trns, dtype=np.uint8)
+            if ta.ndim != 1 or ta.shape[0] > pal.shape[0]:
+                raise ValueError("png: tRNS must be 1-D, <= palette length")
+            body += _chunk(b"tRNS", ta.tobytes())
+    elif trns is not None:
+        raise ValueError("png: encoder tRNS only for palette images")
     body += _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
     body += _chunk(b"IEND", b"")
     return _PNG_SIG + body

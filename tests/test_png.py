@@ -255,20 +255,184 @@ def test_interlaced_roundtrip_equals_progressive(ctype, w, h):
     assert (inter == prog).all()
 
 
-def test_depth16_raises():
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        P.png_pixels(_ihdr_png(depth=16))
+def test_illegal_depth_for_ctype_raises():
+    # depth 16 is legal for RGB but NOT for palette (spec section 6.1)
+    with pytest.raises(ValueError, match="illegal depth"):
+        P.png_pixels(_ihdr_png(depth=16, ctype=3))
+    with pytest.raises(ValueError, match="illegal depth"):
+        P.png_pixels(_ihdr_png(depth=2, ctype=2))
 
 
-def test_trns_raises():
-    img = np.zeros((2, 3), dtype=np.uint8)
-    pal = np.zeros((4, 3), dtype=np.uint8)
-    raw = P.png_encode(img, 3, palette=pal)
-    # splice a tRNS chunk before IEND
+# ---------------------------------------------------------------------------
+# Non-8-bit depths + tRNS (hand-assembled; decoder-independent packing)
+# ---------------------------------------------------------------------------
+
+def _hand_png_depth(samples, w, h, ctype, depth, palette=None, trns=None,
+                    filters=None):
+    """Assemble a PNG at arbitrary depth with per-sample Python packing
+    (MSB-first within bytes, big-endian 16-bit), filter chosen per row."""
+    nch = P._PNG_CHANNELS[ctype]
+    rows = bytearray()
+    prev_recon = None
+    for y in range(h):
+        # pack one reconstructed row
+        if depth == 16:
+            packed = bytearray()
+            for v in samples[y]:
+                packed += int(v).to_bytes(2, "big")
+        elif depth == 8:
+            packed = bytearray(int(v) for v in samples[y])
+        else:
+            packed = bytearray()
+            acc, nbits = 0, 0
+            for v in samples[y]:
+                acc = (acc << depth) | int(v)
+                nbits += depth
+                if nbits == 8:
+                    packed.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                packed.append(acc << (8 - nbits))
+        f = filters[y] if filters else 0
+        bpp = max(1, nch * depth // 8)
+        if f == 0:
+            filt = bytes(packed)
+        elif f == 1:  # Sub over bytes
+            filt = bytes((packed[i] - (packed[i - bpp] if i >= bpp else 0))
+                         % 256 for i in range(len(packed)))
+        elif f == 2:  # Up over bytes
+            filt = bytes((packed[i] - (prev_recon[i] if prev_recon else 0))
+                         % 256 for i in range(len(packed)))
+        else:
+            raise AssertionError("test helper: filters 0/1/2 only")
+        rows.append(f)
+        rows += filt
+        prev_recon = packed
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, 0]))
+    body = P._chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += P._chunk(b"PLTE", bytes(palette))
+    if trns is not None:
+        body += P._chunk(b"tRNS", bytes(trns))
+    body += (P._chunk(b"IDAT", zlib.compress(bytes(rows)))
+             + P._chunk(b"IEND", b""))
+    return P._PNG_SIG + body
+
+
+@pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+def test_subbyte_gray_decode(depth, scale):
+    rng = np.random.default_rng(depth)
+    w, h = 11, 5  # w*depth not a multiple of 8 -> row padding exercised
+    img = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+    raw = _hand_png_depth(img, w, h, ctype=0, depth=depth,
+                          filters=[y % 3 for y in range(h)])
+    got = P.png_pixels(raw)
+    assert (got[:, :, 0] == img * scale).all()
+    assert (got[:, :, 1] == img * scale).all()
+    assert (got[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_decode(depth):
+    rng = np.random.default_rng(40 + depth)
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    w, h = 13, 4
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    raw = _hand_png_depth(idx, w, h, ctype=3, depth=depth,
+                          palette=pal.tobytes())
+    got = P.png_pixels(raw)
+    assert (got[:, :, :3] == pal[idx]).all()
+
+
+@pytest.mark.parametrize("ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_depth16_decode_takes_high_byte(ctype, nch):
+    rng = np.random.default_rng(1600 + ctype)
+    w, h = 7, 4
+    samples = rng.integers(0, 1 << 16, (h, w * nch), dtype=np.uint16)
+    raw = _hand_png_depth(samples, w, h, ctype=ctype, depth=16,
+                          filters=[y % 3 for y in range(h)])
+    got = P.png_pixels(raw)
+    hi = (samples >> 8).astype(np.uint8).reshape(h, w, nch)
+    if ctype == 0:
+        assert (got[:, :, 0] == hi[:, :, 0]).all()
+    elif ctype == 2:
+        assert (got[:, :, :3] == hi).all()
+    elif ctype == 4:
+        assert (got[:, :, 0] == hi[:, :, 0]).all()
+        assert (got[:, :, 3] == hi[:, :, 1]).all()
+    else:
+        assert (got == hi).all()
+
+
+def test_trns_palette_alpha_roundtrip():
+    rng = np.random.default_rng(77)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, 10, dtype=np.uint8)  # shorter than palette
+    idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    got = P.png_pixels(P.png_encode(idx, 3, palette=pal, trns=alpha))
+    pal_a = np.concatenate([alpha, np.full(6, 255, np.uint8)])
+    assert (got[:, :, :3] == pal[idx]).all()
+    assert (got[:, :, 3] == pal_a[idx]).all()
+
+
+def test_trns_gray_color_key():
+    img = np.array([[3, 7, 3], [7, 3, 7]], dtype=np.uint8)
+    raw = _hand_png_depth(img, 3, 2, ctype=0, depth=4, trns=b"\x00\x03")
+    got = P.png_pixels(raw)
+    assert (got[:, :, 3] == np.where(img == 3, 0, 255)).all()
+
+
+def test_trns_rgb_color_key():
+    rng = np.random.default_rng(5)
+    w, h = 5, 3
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    px[1, 2] = px[0, 0]  # duplicate the key pixel
+    key = px[0, 0]
+    trns = b"".join(int(v).to_bytes(2, "big") for v in key)
+    raw = _hand_png_depth(px.reshape(h, w * 3), w, h, ctype=2, depth=8,
+                          trns=trns)
+    got = P.png_pixels(raw)
+    expect_a = np.where((px == key).all(axis=2), 0, 255)
+    assert (got[:, :, 3] == expect_a).all()
+
+
+def test_interlaced_subbyte_gray_decode():
+    # Adam7 x depth-4: each pass packs ITS OWN rows to a byte boundary.
+    rng = np.random.default_rng(47)
+    w, h = 13, 11
+    img = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    rows = bytearray()
+    for x0, y0, dx, dy in _ADAM7_SPEC:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            rows.append(0)
+            acc, nbits = 0, 0
+            for v in sub[y]:
+                acc = (acc << 4) | int(v)
+                nbits += 4
+                if nbits == 8:
+                    rows.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                rows.append(acc << 4)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([4, 0, 0, 0, 1]))
+    raw = (P._PNG_SIG + P._chunk(b"IHDR", ihdr)
+           + P._chunk(b"IDAT", zlib.compress(bytes(rows)))
+           + P._chunk(b"IEND", b""))
+    got = P.png_pixels(raw)
+    assert (got[:, :, 0] == img * 17).all()
+
+
+def test_trns_on_alpha_ctype_raises():
+    raw = P.png_encode(np.zeros((2, 3, 4), dtype=np.uint8), 6)
     iend = P._chunk(b"IEND", b"")
-    assert raw.endswith(iend)
     spliced = raw[: -len(iend)] + P._chunk(b"tRNS", b"\x00") + iend
-    with pytest.raises(NotImplementedError, match="tRNS"):
+    with pytest.raises(ValueError, match="tRNS"):
         P.png_pixels(spliced)
 
 
