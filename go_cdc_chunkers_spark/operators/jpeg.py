@@ -3,14 +3,16 @@
 Closes the last big image-decode surface that is feasible offline (the
 reference's corpus tooling chunks arbitrary file trees --
 ``/root/reference/cmd/cdc/stats.go:158-171`` -- and real corpora are
-full of JPEGs): baseline sequential DCT (SOF0), 8-bit precision,
+full of JPEGs): baseline sequential DCT (SOF0) AND progressive DCT (SOF2 --
+spectral selection + successive approximation per T.81 Annex G, with
+EOB-run and correction-bit refinement decoding), 8-bit precision,
 grayscale / YCbCr 4:4:4 / YCbCr 4:2:0, restart markers, standard JFIF
 color conversion. Everything is from the public ITU T.81 spec.
 
-Honest limits (raise, never guess): progressive (SOF2) and the other
-non-baseline frame types, arithmetic coding, 12-bit precision, and
-sampling layouts other than 1x1/2x2 reject with ``NotImplementedError``;
-malformed structure raises ``ValueError``.
+Honest limits (raise, never guess): lossless/hierarchical frame types,
+arithmetic coding, 12-bit precision, and sampling layouts other than
+1x1/2x2 reject with ``NotImplementedError``; malformed structure raises
+``ValueError``.
 
 Architecture note: entropy (Huffman) decoding is inherently sequential
 bit-by-bit -- a Python loop, the PNG-Paeth-row pattern -- but the IDCT
@@ -20,8 +22,10 @@ so the heavy math is vectorized across the image.
 Correctness is pinned three independent ways (tests/test_jpeg.py + the
 ``image_jpeg_decode`` driver query):
   - entropy layer: quantized-coefficient round-trips are EXACT
-    (encode(C) -> decode -> C, all sampling modes) -- Huffman coding is
-    lossless, so any bitstream bug breaks equality;
+    (encode(C) -> decode -> C, all sampling modes, baseline AND a
+    9-scan progressive script) -- Huffman coding is lossless, so any
+    bitstream bug breaks equality, and baseline-vs-progressive must
+    agree coefficient-for-coefficient;
   - IDCT: vectorized matmul vs a naive per-pixel double loop written
     straight from the T.81 formula;
   - end-to-end: the driver oracle recomputes pixels from the
@@ -163,33 +167,51 @@ def _segments(raw: bytes):
     if raw[0:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     pos = 2
-    while pos + 4 <= len(raw):
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         m = raw[pos + 1]
         if m == 0xD9:  # EOI
             return
+        if pos + 4 > len(raw):
+            break
         ln = int.from_bytes(raw[pos + 2:pos + 4], "big")
         body = raw[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:
             raise ValueError("jpeg: truncated segment")
         yield m, body, pos + 2 + ln
-        if m == 0xDA:
-            return  # caller takes over at the entropy stream
         pos += 2 + ln
+        if m == 0xDA:
+            # skip the entropy-coded stream: stuffed 0xFF00 and restart
+            # markers stay inside it; any other marker ends the scan
+            while pos + 1 < len(raw):
+                if raw[pos] != 0xFF or raw[pos + 1] == 0x00 \
+                        or 0xD0 <= raw[pos + 1] <= 0xD7:
+                    pos += 1
+                    continue
+                break
+            else:
+                raise ValueError("jpeg: missing EOI after scan")
     raise ValueError("jpeg: missing SOS/EOI")
 
 
 def jpeg_coeffs(raw: bytes):
     """Parse + entropy-decode to QUANTIZED coefficient blocks (natural
     order). Returns (comps, h, w) where comps is a list of dicts with
-    id, hs, vs (sampling), qt (64 int32), blocks (by, bx, 64 int32)."""
+    id, hs, vs (sampling), qt (64 int32), blocks (by, bx, 64 int32).
+
+    Handles baseline sequential (SOF0, one full scan) and progressive
+    (SOF2, any number of DC/AC spectral-selection + successive-
+    approximation scans, T.81 Annex G). Huffman tables are snapshotted
+    at each SOS (progressive streams routinely redefine them between
+    scans)."""
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     sof = None
+    progressive = False
     dri = 0
-    scan = None
+    scans = []
     for m, body, after in _segments(raw):
         if m == 0xDB:
             p = 0
@@ -214,9 +236,12 @@ def jpeg_coeffs(raw: bytes):
                 (dc_tabs if tc == 0 else ac_tabs)[th] = \
                     _huff_decode_table(bits, vals)
                 p += 17 + n
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC2):
             if body[0] != 8:
                 raise NotImplementedError(f"jpeg: precision {body[0]}")
+            if sof is not None:
+                raise ValueError("jpeg: multiple SOF markers")
+            progressive = m == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nf = body[5]
@@ -226,29 +251,33 @@ def jpeg_coeffs(raw: bytes):
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 15,
                               "tq": tq})
             sof = (h, w, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: only baseline sequential DCT (SOF0); got SOF "
-                f"marker 0xFF{m:02X}"
-                + (" (progressive)" if m == 0xC2 else ""))
+                "jpeg: only baseline sequential (SOF0) and progressive "
+                f"(SOF2) DCT; got SOF marker 0xFF{m:02X}")
         elif m == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif m == 0xDA:
             ns = body[0]
-            sel = {}
+            sel = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 15)
-            if body[1 + 2 * ns:4 + 2 * ns] != b"\x00\x3f\x00":
+                sel.append((cs, tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise NotImplementedError("jpeg: non-baseline scan params")
-            scan = (sel, after)
-    if sof is None or scan is None:
-        raise ValueError("jpeg: missing SOF0 or SOS")
+            scans.append((sel, ss, se, ah, al, after,
+                          dict(dc_tabs), dict(ac_tabs), dri))
+    if sof is None or not scans:
+        raise ValueError("jpeg: missing SOF or SOS")
     h, w, comps = sof
     if h == 0 or w == 0:
         raise ValueError("jpeg: zero dimensions")
-    sel, data_pos = scan
+    if not progressive and len(scans) != 1:
+        raise NotImplementedError("jpeg: multi-scan sequential stream")
 
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -268,34 +297,70 @@ def jpeg_coeffs(raw: bytes):
         c["qt"] = qts[c["tq"]]
         c["bx"] = mcux * c["hs"]
         c["by"] = mcuy * c["vs"]
+        # non-interleaved (single-component) scans cover only the blocks
+        # of the component's own scaled sample grid, NOT the MCU padding
+        c["nbx"] = (-(-w * c["hs"] // hmax) + 7) // 8
+        c["nby"] = (-(-h * c["vs"] // vmax) + 7) // 8
         c["blocks"] = np.zeros((c["by"], c["bx"], 64), np.int32)
-        if c["id"] not in sel:
-            raise ValueError("jpeg: scan does not cover component")
-        td, ta = sel[c["id"]]
-        if td not in dc_tabs or ta not in ac_tabs:
-            raise ValueError("jpeg: scan references missing DHT")
-        c["dc"] = dc_tabs[td]
-        c["ac"] = ac_tabs[ta]
 
-    r = _BitReader(raw, data_pos)
-    preds = {c["id"]: 0 for c in comps}
+    by_id = {c["id"]: c for c in comps}
+    for sel, ss, se, ah, al, pos, sdc, sac, sdri in scans:
+        scomps = []
+        for cs, td, ta in sel:
+            if cs not in by_id:
+                raise ValueError("jpeg: scan references unknown component")
+            c = by_id[cs]
+            # DC scans need a DC table (unless pure refinement); AC scans
+            # need an AC table. Resolve only what the scan uses.
+            dc = ac = None
+            if ss == 0 and ah == 0:
+                if td not in sdc:
+                    raise ValueError("jpeg: scan references missing DHT")
+                dc = sdc[td]
+            if se > 0:
+                if ta not in sac:
+                    raise ValueError("jpeg: scan references missing DHT")
+                ac = sac[ta]
+            scomps.append((c, dc, ac))
+        if not progressive and len(scomps) != len(comps):
+            raise ValueError("jpeg: scan does not cover component")
+        r = _BitReader(raw, pos)
+        if not progressive:
+            _decode_scan_sequential(r, scomps, mcux, mcuy, sdri)
+        elif ss == 0:
+            if se != 0:
+                raise ValueError("jpeg: progressive scan mixes DC and AC")
+            _decode_scan_dc(r, scomps, mcux, mcuy, sdri, ah, al)
+        else:
+            if len(scomps) != 1:
+                raise ValueError(
+                    "jpeg: progressive AC scan must be single-component")
+            if ss > se or se > 63:
+                raise ValueError("jpeg: bad spectral selection")
+            _decode_scan_ac(r, *scomps[0][::2], ss, se, ah, al, sdri)
+    return comps, h, w
+
+
+def _decode_scan_sequential(r, scomps, mcux, mcuy, dri):
+    """Baseline full scan: interleaved MCUs, DC + all 63 AC per block."""
+    preds = {c["id"]: 0 for c, _, _ in scomps}
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu_count and mcu_count % dri == 0:
                 r.align_and_skip_restart()
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
+                preds = {c["id"]: 0 for c, _, _ in scomps}
+            for c, dc, ac in scomps:
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
                         blk = np.zeros(64, np.int32)
-                        t = _huff_read(r, c["dc"])
+                        t = _huff_read(r, dc)
                         diff = _extend(r.receive(t), t)
                         preds[c["id"]] += diff
                         blk[0] = preds[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = _huff_read(r, c["ac"])
+                            rs = _huff_read(r, ac)
                             rr, s = rs >> 4, rs & 15
                             if s == 0:
                                 if rr == 15:
@@ -309,7 +374,125 @@ def jpeg_coeffs(raw: bytes):
                             k += 1
                         c["blocks"][my * c["vs"] + by, mx * c["hs"] + bx] = blk
             mcu_count += 1
-    return comps, h, w
+
+
+def _scan_units(scomps, mcux, mcuy):
+    """Block visit order for a DC scan: interleaved MCU order when the
+    scan has several components, the component's own (non-padded) raster
+    when it has one (T.81 non-interleaved rule)."""
+    if len(scomps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for c, dc, ac in scomps:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            unit.append((c, dc,
+                                         my * c["vs"] + by, mx * c["hs"] + bx))
+                yield unit
+    else:
+        c, dc, _ = scomps[0]
+        for row in range(c["nby"]):
+            for col in range(c["nbx"]):
+                yield [(c, dc, row, col)]
+
+
+def _decode_scan_dc(r, scomps, mcux, mcuy, dri, ah, al):
+    """Progressive DC scan: first pass decodes shifted diffs (<< Al);
+    refinement reads one bit per block into bit position Al."""
+    preds = {c["id"]: 0 for c, _, _ in scomps}
+    n = 0
+    for unit in _scan_units(scomps, mcux, mcuy):
+        if dri and n and n % dri == 0:
+            r.align_and_skip_restart()
+            preds = {c["id"]: 0 for c, _, _ in scomps}
+        for c, dc, row, col in unit:
+            if ah == 0:
+                t = _huff_read(r, dc)
+                preds[c["id"]] += _extend(r.receive(t), t)
+                c["blocks"][row, col, 0] = preds[c["id"]] << al
+            elif r.read_bit():
+                c["blocks"][row, col, 0] |= 1 << al
+        n += 1
+
+
+def _decode_scan_ac(r, c, ac, ss, se, ah, al, dri):
+    """Progressive AC scan over one component's non-padded block raster.
+    First pass (Ah=0) places coefficients << Al with EOB-run skipping;
+    refinement (Ah>0) adds the Al bit via the T.81 G.2 correction-bit
+    walk (the libjpeg decode_mcu_AC_refine algorithm, reimplemented
+    from the public spec semantics)."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    n = 0
+    for row in range(c["nby"]):
+        for col in range(c["nbx"]):
+            if dri and n and n % dri == 0:
+                r.align_and_skip_restart()
+                eobrun = 0
+            n += 1
+            blk = c["blocks"][row, col]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(r, ac)
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.receive(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band")
+                    blk[ZIGZAG[k]] = _extend(r.receive(s), s) << al
+                    k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_read(r, ac)
+                    rr, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.receive(rr)
+                            break
+                        # rr == 15: ZRL, skip 16 zero-history coefficients
+                    elif s == 1:
+                        val = p1 if r.read_bit() else m1
+                    else:
+                        raise ValueError("jpeg: refinement magnitude != 1")
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if blk[z] != 0:
+                            if r.read_bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] > 0 else m1
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[ZIGZAG[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z] != 0:
+                        if r.read_bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] > 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def _plane(c: dict) -> np.ndarray:
@@ -472,14 +655,247 @@ def _block_symbols(blk: np.ndarray, pred: int):
     return t, dcb, acs, dc
 
 
+# ---------------------------------------------------------------------------
+# Progressive scan token generators (encoder). Tokens are ("h", symbol)
+# for Huffman-coded symbols and ("b", value, nbits) for appended raw
+# bits; frequencies for the per-scan canonical table come from the "h"
+# tokens alone. The refinement emitters follow T.81 G.1.2 with the
+# libjpeg buffered-correction-bit ordering (reimplemented from the
+# public spec semantics): pending EOB runs flush before any ZRL or
+# newly-nonzero symbol, and each block's buffered bits ride immediately
+# after the symbol that ends their span.
+# ---------------------------------------------------------------------------
+
+def _enc_units(scomps, mcux, mcuy):
+    """Encoder-side block visit order, mirroring _scan_units."""
+    if len(scomps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for c in scomps:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            unit.append((c, my * c["vs"] + by,
+                                         mx * c["hs"] + bx))
+                yield unit
+    else:
+        c = scomps[0]
+        for row in range(c["nby"]):
+            for col in range(c["nbx"]):
+                yield [(c, row, col)]
+
+
+def _prog_dc_first_tokens(scomps, mcux, mcuy, al):
+    toks = []
+    preds = {c["id"]: 0 for c in scomps}
+    for unit in _enc_units(scomps, mcux, mcuy):
+        for c, row, col in unit:
+            v = int(c["blocks"][row, col, 0]) >> al  # arithmetic, like C
+            diff = v - preds[c["id"]]
+            preds[c["id"]] = v
+            t = _category(diff)
+            toks.append(("h", t))
+            if t:
+                toks.append(("b", diff if diff >= 0
+                             else diff + (1 << t) - 1, t))
+    return toks
+
+
+def _prog_dc_refine_tokens(scomps, mcux, mcuy, al):
+    toks = []
+    for unit in _enc_units(scomps, mcux, mcuy):
+        for c, row, col in unit:
+            toks.append(("b", (int(c["blocks"][row, col, 0]) >> al) & 1, 1))
+    return toks
+
+
+def _eob_tokens(eobrun):
+    nb = eobrun.bit_length() - 1
+    toks = [("h", nb << 4)]
+    if nb:
+        toks.append(("b", eobrun - (1 << nb), nb))
+    return toks
+
+
+def _prog_ac_first_tokens(c, ss, se, al):
+    toks = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            toks.extend(_eob_tokens(eobrun))
+            eobrun = 0
+
+    for row in range(c["nby"]):
+        for col in range(c["nbx"]):
+            blk = c["blocks"][row, col]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[ZIGZAG[k]])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    flush_eob()
+                    toks.append(("h", 0xF0))
+                    run -= 16
+                s = t.bit_length()
+                val = t if v > 0 else -t
+                flush_eob()
+                toks.append(("h", (run << 4) | s))
+                toks.append(("b", val if val >= 0
+                             else val + (1 << s) - 1, s))
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return toks
+
+
+def _prog_ac_refine_tokens(c, ss, se, al):
+    toks = []
+    eobrun = 0
+    held: list = []  # correction bits riding with the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            toks.extend(_eob_tokens(eobrun))
+            toks.extend(held)
+            held.clear()
+            eobrun = 0
+
+    for row in range(c["nby"]):
+        for col in range(c["nbx"]):
+            blk = c["blocks"][row, col]
+            a = [abs(int(blk[ZIGZAG[k]])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # index of last NEWLY-nonzero coefficient
+            for i, t in enumerate(a):
+                if t == 1:
+                    eob = ss + i
+            run = 0
+            br: list = []
+            for i, t in enumerate(a):
+                k = ss + i
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    flush_eob()
+                    toks.append(("h", 0xF0))
+                    toks.extend(br)
+                    br.clear()
+                    run -= 16
+                if t > 1:
+                    br.append(("b", t & 1, 1))
+                    continue
+                flush_eob()
+                toks.append(("h", (run << 4) | 1))
+                toks.append(("b", 1 if int(blk[ZIGZAG[k]]) > 0 else 0, 1))
+                toks.extend(br)
+                br.clear()
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                held.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return toks
+
+
+def _encode_progressive(comp_specs, h, w, hmax, vmax, mcux, mcuy) -> bytes:
+    for c in comp_specs:
+        c["nbx"] = (-(-w * c["hs"] // hmax) + 7) // 8
+        c["nby"] = (-(-h * c["vs"] // vmax) + 7) // 8
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for qi, c in enumerate(comp_specs[:2] if len(comp_specs) > 1
+                           else comp_specs[:1]):
+        zz = np.asarray(c["qt"], dtype=np.int64)[ZIGZAG]
+        if np.any(zz < 1) or np.any(zz > 255):
+            raise ValueError("jpeg: quant values must be 1..255")
+        seg(0xDB, bytes([qi]) + bytes(int(v) for v in zz))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comp_specs)])
+    for ci, c in enumerate(comp_specs):
+        sof += bytes([c["id"], (c["hs"] << 4) | c["vs"],
+                      min(ci, 1) if len(comp_specs) > 1 else 0])
+    seg(0xC2, bytes(sof))
+
+    all_ci = list(range(len(comp_specs)))
+    script = [(all_ci, 0, 0, 0, 1), (all_ci, 0, 0, 1, 0)]
+    for ci in all_ci:
+        script += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
+    for ci in all_ci:
+        script += [([ci], 1, 5, 2, 1), ([ci], 6, 63, 2, 1)]
+    for ci in all_ci:
+        script += [([ci], 1, 5, 1, 0), ([ci], 6, 63, 1, 0)]
+
+    for cis, ss, se, ah, al in script:
+        scomps = [comp_specs[ci] for ci in cis]
+        if ss == 0:
+            toks = (_prog_dc_first_tokens(scomps, mcux, mcuy, al) if ah == 0
+                    else _prog_dc_refine_tokens(scomps, mcux, mcuy, al))
+            tclass = 0
+        elif ah == 0:
+            toks = _prog_ac_first_tokens(scomps[0], ss, se, al)
+            tclass = 1
+        else:
+            toks = _prog_ac_refine_tokens(scomps[0], ss, se, al)
+            tclass = 1
+        freq: dict[int, int] = {}
+        for tok in toks:
+            if tok[0] == "h":
+                freq[tok[1]] = freq.get(tok[1], 0) + 1
+        codes = None
+        if freq:
+            bits, vals, codes = _huff_encode_table(_huff_lengths(freq))
+            seg(0xC4, bytes([tclass << 4]) + bytes(bits) + bytes(vals))
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            sos += bytes([comp_specs[ci]["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        wtr = _BitWriter()
+        for tok in toks:
+            if tok[0] == "h":
+                code, ln = codes[tok[1]]
+                wtr.write(code, ln)
+            else:
+                wtr.write(tok[1], tok[2])
+        wtr.flush()
+        out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_encode_coeffs(comp_specs: list[dict], h: int, w: int,
-                       restart_interval: int = 0) -> bytes:
-    """Build a baseline JPEG from QUANTIZED coefficient blocks.
+                       restart_interval: int = 0,
+                       progressive: bool = False) -> bytes:
+    """Build a baseline (or, with progressive=True, SOF2 progressive)
+    JPEG from QUANTIZED coefficient blocks.
 
     comp_specs: per component {id, hs, vs, qt (64 natural int), blocks
     (by, bx, 64 natural int)} with by/bx covering the MCU grid. Huffman
     tables are built from this image's symbol frequencies. Components
     1 -> grayscale, 3 -> interpreted as YCbCr by decoders.
+
+    The progressive scan script exercises every T.81 Annex G mechanism:
+    interleaved DC first (Al=1) + DC refinement, then per-component AC
+    spectral bands 1-5 / 6-63 at Al=2 followed by two successive-
+    approximation refinement layers down to Al=0. Note progressive AC
+    scans transmit only each component's non-padded block raster, so
+    MCU-padding blocks keep DC-only coefficients.
     """
     hmax = max(c["hs"] for c in comp_specs)
     vmax = max(c["vs"] for c in comp_specs)
@@ -492,6 +908,12 @@ def jpeg_encode_coeffs(comp_specs: list[dict], h: int, w: int,
             np.asarray(comp_specs[1]["qt"]), np.asarray(comp_specs[2]["qt"])):
         raise ValueError("jpeg: Cb and Cr must share a quant table "
                          "(one chroma DQT slot is emitted)")
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "jpeg: restart markers unsupported in the progressive "
+                "encoder (the decoder handles them)")
+        return _encode_progressive(comp_specs, h, w, hmax, vmax, mcux, mcuy)
 
     # pass 1: symbol frequencies (restart-aware DC prediction)
     dcf = [dict() for _ in comp_specs]
@@ -611,10 +1033,12 @@ def _qt_scaled(quality: int) -> np.ndarray:
     return np.clip((_QT_LUMA_Z * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
+def jpeg_encode(img: np.ndarray, quality: int = 85,
+                progressive: bool = False) -> bytes:
     """Pixel-level encoder (forward DCT + quantization): HxW grayscale or
-    HxWx3 RGB -> baseline JPEG (RGB goes through JFIF YCbCr, 4:4:4).
-    Lossy by nature -- round-trips are PSNR-bounded, not exact."""
+    HxWx3 RGB -> baseline or progressive JPEG (RGB goes through JFIF
+    YCbCr, 4:4:4). Lossy by nature -- round-trips are PSNR-bounded, not
+    exact."""
     img = np.asarray(img)
     qt = _qt_scaled(quality)
 
@@ -631,7 +1055,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     if img.ndim == 2:
         comps = [{"id": 1, "hs": 1, "vs": 1, "qt": qt,
                   "blocks": to_blocks(img)}]
-        return jpeg_encode_coeffs(comps, img.shape[0], img.shape[1])
+        return jpeg_encode_coeffs(comps, img.shape[0], img.shape[1],
+                                  progressive=progressive)
     if img.ndim == 3 and img.shape[2] == 3:
         r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -640,5 +1065,6 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
         comps = [{"id": i + 1, "hs": 1, "vs": 1, "qt": qt,
                   "blocks": to_blocks(p)}
                  for i, p in enumerate((y, cb, cr))]
-        return jpeg_encode_coeffs(comps, img.shape[0], img.shape[1])
+        return jpeg_encode_coeffs(comps, img.shape[0], img.shape[1],
+                                  progressive=progressive)
     raise ValueError("jpeg: expected HxW gray or HxWx3 RGB")

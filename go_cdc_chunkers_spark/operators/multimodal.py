@@ -322,9 +322,9 @@ def decode_image(raw: bytes) -> np.ndarray:
 
         return jpeg_pixels(raw)
     raise NotImplementedError(
-        "image decode: PPM P6, 24-bit BMP, 8-bit PNG "
-        "(gray/RGB/palette/alpha) and baseline JPEG are decoded for real; "
-        "other formats (WebP/TIFF/progressive JPEG/...) need PIL/opencv, "
+        "image decode: PPM P6, 24-bit BMP, PNG "
+        "(all depths/interlace/tRNS) and baseline+progressive JPEG are "
+        "decoded for real; other formats (WebP/TIFF/...) need PIL/opencv, "
         "not in this image"
     )
 

@@ -254,12 +254,113 @@ def _valid_gray_jpeg():
     return J.jpeg_encode_coeffs(_gray_spec(rng, 1, 1), 8, 8)
 
 
-def test_progressive_raises():
+def test_lossless_sof_raises():
     raw = bytearray(_valid_gray_jpeg())
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    raw[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF"):
         J.jpeg_coeffs(bytes(raw))
+
+
+def test_sof2_with_full_band_scan_raises():
+    # flipping a baseline stream's marker to SOF2 makes its 0..63 scan an
+    # (illegal) progressive scan mixing DC and AC
+    raw = bytearray(_valid_gray_jpeg())
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        J.jpeg_coeffs(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): encode/decode round-trips must match baseline
+# coefficient-for-coefficient on the non-padded block rasters
+# ---------------------------------------------------------------------------
+
+def _assert_prog_equals_baseline(specs, h, w):
+    base = J.jpeg_encode_coeffs([dict(c) for c in specs], h, w)
+    prog = J.jpeg_encode_coeffs([dict(c) for c in specs], h, w,
+                                progressive=True)
+    db, hb, wb = J.jpeg_coeffs(base)
+    dp, hp, wp = J.jpeg_coeffs(prog)
+    assert (hb, wb) == (hp, wp) == (h, w)
+    for cb, cp in zip(db, dp):
+        nby, nbx = cp["nby"], cp["nbx"]
+        assert np.array_equal(cb["blocks"][:nby, :nbx],
+                              cp["blocks"][:nby, :nbx])
+
+
+def test_progressive_roundtrip_gray():
+    rng = np.random.default_rng(1)
+    _assert_prog_equals_baseline(_gray_spec(rng, 5, 7), 37, 51)
+
+
+def test_progressive_roundtrip_color_444():
+    rng = np.random.default_rng(2)
+    _assert_prog_equals_baseline(_color_specs(rng, 4, 5), 29, 38)
+
+
+def test_progressive_roundtrip_color_420():
+    rng = np.random.default_rng(3)
+    _assert_prog_equals_baseline(_color_specs(rng, 3, 4, subsampled=True),
+                                 41, 55)
+
+
+def test_progressive_all_zero_long_eob_runs():
+    qt = np.full(64, 9, np.int64)
+    specs = [{"id": 1, "hs": 1, "vs": 1, "qt": qt,
+              "blocks": np.zeros((16, 16, 64), np.int32)}]
+    _assert_prog_equals_baseline(specs, 128, 128)
+
+
+def test_progressive_large_magnitudes_all_layers():
+    # values up to +-30000 force newly-nonzero symbols at Al=2 and
+    # correction bits at both refinement layers
+    rng = np.random.default_rng(4)
+    qt = np.full(64, 3, np.int64)
+    blocks = rng.integers(-30000, 30001, (6, 5, 64)).astype(np.int32)
+    specs = [{"id": 1, "hs": 1, "vs": 1, "qt": qt, "blocks": blocks}]
+    _assert_prog_equals_baseline(specs, 48, 40)
+
+
+def test_progressive_zrl_inside_refinement():
+    # a lone +-1 at the band's end with a >16 zero-history run before it,
+    # plus a nonzero-history coefficient inside the run: exercises the
+    # ZRL + buffered-correction-bit path of the refinement coder
+    qt = np.full(64, 5, np.int64)
+    blocks = np.zeros((5, 5, 64), np.int32)
+    blocks[:, :, J.ZIGZAG[63]] = 1
+    blocks[:, :, J.ZIGZAG[30]] = 4
+    specs = [{"id": 1, "hs": 1, "vs": 1, "qt": qt, "blocks": blocks}]
+    _assert_prog_equals_baseline(specs, 40, 40)
+
+
+def test_progressive_magnitude_one_only():
+    # coefficients that first appear in the LAST refinement layer
+    rng = np.random.default_rng(5)
+    qt = np.full(64, 11, np.int64)
+    blocks = np.zeros((4, 6, 64), np.int32)
+    mask = rng.random((4, 6, 64)) < 0.03
+    blocks[mask] = rng.choice([-1, 1], int(mask.sum()))
+    specs = [{"id": 1, "hs": 1, "vs": 1, "qt": qt, "blocks": blocks}]
+    _assert_prog_equals_baseline(specs, 32, 48)
+
+
+def test_progressive_pixels_match_baseline():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    pb = J.jpeg_pixels(J.jpeg_encode(img, 90))
+    pp = J.jpeg_pixels(J.jpeg_encode(img, 90, progressive=True))
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_decode_image_dispatches():
+    from go_cdc_chunkers_spark.operators.multimodal import decode_image
+    img = np.arange(16 * 24, dtype=np.uint8).reshape(16, 24) % 251
+    raw = J.jpeg_encode(img, 95, progressive=True)
+    assert raw[:4] != b"\xff\xd8\xff\xc0"
+    rgb = decode_image(raw)
+    assert rgb.shape == (16, 24, 3)
 
 
 def test_12bit_precision_raises():
