@@ -2447,10 +2447,14 @@ def image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul IDCT -> JFIF color convert) inside mapInPandas. The DuckDB
     oracle never sees the bytes: it regenerates the coefficients from the
     same closed forms and runs its OWN relational IDCT -- a 64-term
-    cos()*cos() SUM per pixel -- plus the same JFIF expressions. Two
-    images: grayscale with restart markers (3x5 blocks, 21x35 crop) and
-    YCbCr 4:2:0 (2x3 MCUs, 28x44 crop) so subsampled-chroma upsampling
-    and color conversion are in the certified path. Float-parity margin
+    cos()*cos() SUM per pixel -- plus the same JFIF expressions. Three
+    images: grayscale with restart markers (3x5 blocks, 21x35 crop),
+    baseline YCbCr 4:2:0 (2x3 MCUs, 28x44 crop) so subsampled-chroma
+    upsampling and color conversion are in the certified path, and a
+    PROGRESSIVE (SOF2) YCbCr 4:2:0 image whose 9-scan spectral-selection
+    + successive-approximation script (T.81 Annex G) must reproduce the
+    same closed-form coefficients -- the oracle is encoding-mode-blind,
+    so any progressive bitstream defect breaks the value hash. Float-parity margin
     (distance of every pre-round value from a rounding boundary) is
     pinned >= 1e-6 by tests/test_jpeg.py, ~1e9x the cross-engine cos/sum
     noise."""
@@ -2472,6 +2476,14 @@ def image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"id": 1, "hs": 1, "vs": 1, "qt": _jpeg_qt(0),
               "blocks": _jpeg_blocks(3, 5, 0)}],
             21, 35, restart_interval=4)),
+        ("jp420", jpeg_ops.jpeg_encode_coeffs([
+            {"id": 1, "hs": 2, "vs": 2, "qt": _jpeg_qt(0),
+             "blocks": _jpeg_blocks(4, 6, 4)},
+            {"id": 2, "hs": 1, "vs": 1, "qt": _jpeg_qt(1),
+             "blocks": _jpeg_blocks(2, 3, 5)},
+            {"id": 3, "hs": 1, "vs": 1, "qt": _jpeg_qt(1),
+             "blocks": _jpeg_blocks(2, 3, 6)},
+        ], 28, 44, progressive=True)),
     ]
     df = spark.createDataFrame([(i, bytearray(b)) for i, b in imgs],
                                "img_id string, bytes binary")
@@ -2537,6 +2549,12 @@ IMAGE_JPEG_SQL = (
                            "yy.g // 2", "xx.g // 2")
     + "," + _jpeg_comp_sql("jcr", 2, 3, 3, _JQT_C, "27", "43",
                            "yy.g // 2", "xx.g // 2")
+    + "," + _jpeg_comp_sql("jpy", 4, 6, 4, _JQT_L, "27", "43",
+                           "yy.g", "xx.g")
+    + "," + _jpeg_comp_sql("jpcb", 2, 3, 5, _JQT_C, "27", "43",
+                           "yy.g // 2", "xx.g // 2")
+    + "," + _jpeg_comp_sql("jpcr", 2, 3, 6, _JQT_C, "27", "43",
+                           "yy.g // 2", "xx.g // 2")
     + """
 SELECT img_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
        CAST(GREATEST(0, LEAST(255, round(rs))) AS INT) AS r,
@@ -2553,6 +2571,15 @@ FROM (
   FROM jy_px jy
   JOIN jcb_px jcb ON jcb.y = jy.y AND jcb.x = jy.x
   JOIN jcr_px jcr ON jcr.y = jy.y AND jcr.x = jy.x
+  UNION ALL
+  SELECT 'jp420', jy.y, jy.x,
+         jy.s + 1.402*(jcr.s - 128.0),
+         jy.s - (0.114*1.772/0.587)*(jcb.s - 128.0)
+              - (0.299*1.402/0.587)*(jcr.s - 128.0),
+         jy.s + 1.772*(jcb.s - 128.0)
+  FROM jpy_px jy
+  JOIN jpcb_px jcb ON jcb.y = jy.y AND jcb.x = jy.x
+  JOIN jpcr_px jcr ON jcr.y = jy.y AND jcr.x = jy.x
 )
 ORDER BY img_id, y, x
 """

@@ -212,31 +212,33 @@ def test_driver_images_rounding_margin():
     deq = got[0]["blocks"].astype(np.float64) * got[0]["qt"][None, None, :]
     px = (deq.reshape(-1, 64) @ J._BASIS + 128.0).reshape(3, 5, 8, 8)
     vals.append(px.transpose(0, 2, 1, 3).reshape(24, 40)[:21, :35].ravel())
-    # 4:2:0 color: pre-round RGB after JFIF conversion
-    raw = J.jpeg_encode_coeffs([
-        {"id": 1, "hs": 2, "vs": 2, "qt": EQ._jpeg_qt(0),
-         "blocks": EQ._jpeg_blocks(4, 6, 1)},
-        {"id": 2, "hs": 1, "vs": 1, "qt": EQ._jpeg_qt(1),
-         "blocks": EQ._jpeg_blocks(2, 3, 2)},
-        {"id": 3, "hs": 1, "vs": 1, "qt": EQ._jpeg_qt(1),
-         "blocks": EQ._jpeg_blocks(2, 3, 3)},
-    ], 28, 44)
-    comps2, h2, w2 = J.jpeg_coeffs(raw)
-    planes = []
-    for c in comps2:
-        d = c["blocks"].astype(np.float64) * c["qt"][None, None, :]
-        by, bx = d.shape[:2]
-        p = ((d.reshape(-1, 64) @ J._BASIS + 128.0)
-             .reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
-             .reshape(by * 8, bx * 8))
-        if c["hs"] == 1 and len(comps2) == 3 and c is not comps2[0]:
-            p = p.repeat(2, axis=0).repeat(2, axis=1)
-        planes.append(p[:28, :44])
-    y, cb, cr = planes
-    vals.append((y + 1.402 * (cr - 128.0)).ravel())
-    vals.append((y - (0.114 * 1.772 / 0.587) * (cb - 128.0)
-                 - (0.299 * 1.402 / 0.587) * (cr - 128.0)).ravel())
-    vals.append((y + 1.772 * (cb - 128.0)).ravel())
+    # 4:2:0 color (baseline salts 1/2/3, progressive salts 4/5/6):
+    # pre-round RGB after JFIF conversion
+    for salts, prog in (((1, 2, 3), False), ((4, 5, 6), True)):
+        raw = J.jpeg_encode_coeffs([
+            {"id": 1, "hs": 2, "vs": 2, "qt": EQ._jpeg_qt(0),
+             "blocks": EQ._jpeg_blocks(4, 6, salts[0])},
+            {"id": 2, "hs": 1, "vs": 1, "qt": EQ._jpeg_qt(1),
+             "blocks": EQ._jpeg_blocks(2, 3, salts[1])},
+            {"id": 3, "hs": 1, "vs": 1, "qt": EQ._jpeg_qt(1),
+             "blocks": EQ._jpeg_blocks(2, 3, salts[2])},
+        ], 28, 44, progressive=prog)
+        comps2, h2, w2 = J.jpeg_coeffs(raw)
+        planes = []
+        for c in comps2:
+            d = c["blocks"].astype(np.float64) * c["qt"][None, None, :]
+            by, bx = d.shape[:2]
+            p = ((d.reshape(-1, 64) @ J._BASIS + 128.0)
+                 .reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+            if c["hs"] == 1 and len(comps2) == 3 and c is not comps2[0]:
+                p = p.repeat(2, axis=0).repeat(2, axis=1)
+            planes.append(p[:28, :44])
+        y, cb, cr = planes
+        vals.append((y + 1.402 * (cr - 128.0)).ravel())
+        vals.append((y - (0.114 * 1.772 / 0.587) * (cb - 128.0)
+                     - (0.299 * 1.402 / 0.587) * (cr - 128.0)).ravel())
+        vals.append((y + 1.772 * (cb - 128.0)).ravel())
     v = np.concatenate(vals)
     # only HARMFUL boundaries: interior .5s (0.5..254.5). The -0.5 and
     # 255.5 edges are clip-equalized in both engines (round then clip).
