@@ -2586,6 +2586,202 @@ ORDER BY img_id, y, x
 )
 
 
+def image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free GIF decode (operators/gif.py), engine-vs-engine
+    like image_png_decode: four images whose palette entries AND index
+    maps are closed forms over (i) / (x, y) are LZW-encoded driver-side
+    by gif_encode, and Spark decodes the actual GIF bytes through the
+    real gif_frames path (variable-width LZW -> de-interlace -> palette
+    -> frame composition) inside mapInPandas, emitting every frame of
+    every image as a pixel relation. The DuckDB oracle never sees the
+    bytes: it regenerates the expected relation from the same closed
+    forms with generate_series. Covered: plain frame, the 4-pass
+    interlace row schedule, transparency (transparent index leaves the
+    canvas clear -> all-zero RGBA), and a two-frame animation whose
+    second frame composites a patch at (11, 8) over the first (the
+    oracle expresses composition as a CASE over the patch rectangle)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import gif as gif_ops
+
+    i = np.arange(256)
+
+    def pal(ca, cb, cc, cd, ce, cf, n):
+        return np.stack([(i[:n] * ca + cb) % 256, (i[:n] * cc + cd) % 256,
+                         (i[:n] * ce + cf) % 256], axis=-1).astype(np.uint8)
+
+    y, x = np.mgrid[0:24, 0:36]
+    ga = gif_ops.gif_encode(((x * 5 + y * 3) % 16).astype(np.uint8),
+                            pal(37, 11, 59, 23, 83, 5, 16))
+    y, x = np.mgrid[0:37, 0:25]
+    gi = gif_ops.gif_encode(((x * 7 + y * 11 + 2) % 32).astype(np.uint8),
+                            pal(29, 7, 43, 13, 71, 3, 32), interlace=True)
+    y, x = np.mgrid[0:19, 0:23]
+    gt = gif_ops.gif_encode(((x + y * 3) % 8).astype(np.uint8),
+                            pal(53, 17, 89, 29, 101, 41, 8), transparent=0)
+    y, x = np.mgrid[0:20, 0:30]
+    base = ((x * 3 + y * 5) % 16).astype(np.uint8)
+    y, x = np.mgrid[0:6, 0:7]
+    patch = ((x * 9 + y * 13 + 1) % 16).astype(np.uint8)
+    gm = gif_ops.gif_encode([(base, (0, 0)), (patch, (11, 8))],
+                            pal(37, 11, 59, 23, 83, 5, 16))
+    imgs = [("ga", ga), ("gi", gi), ("gt", gt), ("gm", gm)]
+    df = spark.createDataFrame([(n, bytearray(b)) for n, b in imgs],
+                               "img_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for iid, raw in zip(pdf["img_id"], pdf["bytes"]):
+                for f, (px, _delay) in enumerate(gif_ops.gif_frames(
+                        bytes(raw))):
+                    h, w = px.shape[0], px.shape[1]
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    yield pd.DataFrame({
+                        "img_id": iid, "f": np.int32(f),
+                        "y": yy.ravel().astype(np.int32),
+                        "x": xx.ravel().astype(np.int32),
+                        "r": px[:, :, 0].ravel().astype(np.int32),
+                        "g": px[:, :, 1].ravel().astype(np.int32),
+                        "b": px[:, :, 2].ravel().astype(np.int32),
+                        "a": px[:, :, 3].ravel().astype(np.int32),
+                    })
+
+    return df.mapInPandas(
+        gen, "img_id string, f int, y int, x int, "
+        "r int, g int, b int, a int"
+    ).orderBy("img_id", "f", "y", "x")
+
+
+def _gif_img_sql(img_id: str, f: int, w: int, h: int, idx: str,
+                 pr: str, pg: str, pb: str, a: str = "255") -> str:
+    """One frame's pixel relation: ``idx`` is a SQL expression over
+    x.g/y.g giving the palette index; pr/pg/pb map an index expression
+    ``v`` to channel values (written with {v} placeholder)."""
+    return f"""
+SELECT '{img_id}' AS img_id, {f} AS f, CAST(y.g AS INT) AS y,
+       CAST(x.g AS INT) AS x,
+       CAST({pr.format(v=idx)} AS INT) AS r,
+       CAST({pg.format(v=idx)} AS INT) AS g,
+       CAST({pb.format(v=idx)} AS INT) AS b, CAST({a} AS INT) AS a
+FROM generate_series(0, {h - 1}) y(g), generate_series(0, {w - 1}) x(g)"""
+
+
+_GM_IDX = ("(CASE WHEN y.g BETWEEN 8 AND 13 AND x.g BETWEEN 11 AND 17 "
+           "THEN ((x.g-11)*9 + (y.g-8)*13 + 1) % 16 "
+           "ELSE (x.g*3 + y.g*5) % 16 END)")
+
+IMAGE_GIF_SQL = (
+    _gif_img_sql("ga", 0, 36, 24, "((x.g*5+y.g*3)%16)",
+                 "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
+    + "\nUNION ALL" + _gif_img_sql(
+        "gi", 0, 25, 37, "((x.g*7+y.g*11+2)%32)",
+        "({v}*29+7)%256", "({v}*43+13)%256", "({v}*71+3)%256")
+    + "\nUNION ALL" + _gif_img_sql(
+        "gt", 0, 23, 19, "((x.g+y.g*3)%8)",
+        "CASE WHEN {v}=0 THEN 0 ELSE ({v}*53+17)%256 END",
+        "CASE WHEN {v}=0 THEN 0 ELSE ({v}*89+29)%256 END",
+        "CASE WHEN {v}=0 THEN 0 ELSE ({v}*101+41)%256 END",
+        "CASE WHEN (x.g+y.g*3)%8=0 THEN 0 ELSE 255 END")
+    + "\nUNION ALL" + _gif_img_sql(
+        "gm", 0, 30, 20, "((x.g*3+y.g*5)%16)",
+        "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
+    + "\nUNION ALL" + _gif_img_sql(
+        "gm", 1, 30, 20, _GM_IDX,
+        "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
+    + "\nORDER BY img_id, f, y, x"
+)
+
+
+def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free baseline TIFF decode (operators/tiff.py),
+    engine-vs-engine like image_png_decode: five images with closed-form
+    pixels are encoded driver-side by tiff_encode -- covering both byte
+    orders, PackBits vs uncompressed, multi-strip layout, gray /
+    WhiteIsZero (decoder must invert) / RGB / palette-color (16-bit
+    ColorMap entries, decoder takes the high byte) / RGBA ExtraSamples
+    -- and Spark decodes the actual TIFF bytes through the real
+    tiff_pixels path inside mapInPandas. The DuckDB oracle regenerates
+    the expected relation from the same closed forms; it never sees the
+    bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import tiff as tiff_ops
+
+    y, x = np.mgrid[0:18, 0:26]
+    tg = tiff_ops.tiff_encode(((x * 7 + y * 13 + 29) % 256).astype(
+        np.uint8), byteorder="little")
+    y, x = np.mgrid[0:15, 0:21]
+    tw = tiff_ops.tiff_encode(((x * 3 + y * 5 + 1) % 256).astype(
+        np.uint8), byteorder="big", photometric=0, packbits=True,
+        rows_per_strip=4)
+    y, x = np.mgrid[0:17, 0:29]
+    tr = tiff_ops.tiff_encode(np.stack([
+        (x * 3 + y * 5 + 1) % 256, (x * 11 + y * 2 + 7) % 256,
+        (x + y * 17 + 3) % 256], axis=-1).astype(np.uint8),
+        byteorder="big", packbits=True, rows_per_strip=5)
+    i = np.arange(256)
+    pal = np.stack([(i * 37 + 11) % 256, (i * 59 + 23) % 256,
+                    (i * 83 + 5) % 256], axis=-1).astype(np.uint8)
+    y, x = np.mgrid[0:13, 0:19]
+    tp = tiff_ops.tiff_encode(((x * 5 + y * 7) % 256).astype(np.uint8),
+                              palette=pal)
+    y, x = np.mgrid[0:14, 0:22]
+    ta = tiff_ops.tiff_encode(np.stack([
+        (x * 2 + y * 19 + 4) % 256, (x * 13 + y + 9) % 256,
+        (x * 7 + y * 7 + 100) % 256, (x * 3 + y * 11 + 50) % 256],
+        axis=-1).astype(np.uint8), rows_per_strip=3)
+    imgs = [("tg", tg), ("tw", tw), ("tr", tr), ("tp", tp), ("ta", ta)]
+    df = spark.createDataFrame([(n, bytearray(b)) for n, b in imgs],
+                               "img_id string, bytes binary")
+
+    def gen(batches):
+        for pdf in batches:
+            for iid, raw in zip(pdf["img_id"], pdf["bytes"]):
+                px = tiff_ops.tiff_pixels(bytes(raw))
+                if px.ndim == 2:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                if px.shape[2] == 3:
+                    px = np.dstack([px, np.full(px.shape[:2], 255,
+                                                np.uint8)])
+                h, w = px.shape[0], px.shape[1]
+                yy, xx = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame({
+                    "img_id": iid,
+                    "y": yy.ravel().astype(np.int32),
+                    "x": xx.ravel().astype(np.int32),
+                    "r": px[:, :, 0].ravel().astype(np.int32),
+                    "g": px[:, :, 1].ravel().astype(np.int32),
+                    "b": px[:, :, 2].ravel().astype(np.int32),
+                    "a": px[:, :, 3].ravel().astype(np.int32),
+                })
+
+    return df.mapInPandas(
+        gen, "img_id string, y int, x int, r int, g int, b int, a int"
+    ).orderBy("img_id", "y", "x")
+
+
+IMAGE_TIFF_SQL = (
+    _png_img_sql("tg", 26, 18, "(x.g*7+y.g*13+29)%256",
+                 "(x.g*7+y.g*13+29)%256", "(x.g*7+y.g*13+29)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "tw", 21, 15, "255-(x.g*3+y.g*5+1)%256",
+        "255-(x.g*3+y.g*5+1)%256", "255-(x.g*3+y.g*5+1)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "tr", 29, 17, "(x.g*3+y.g*5+1)%256", "(x.g*11+y.g*2+7)%256",
+        "(x.g+y.g*17+3)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "tp", 19, 13, "(((x.g*5+y.g*7)%256)*37+11)%256",
+        "(((x.g*5+y.g*7)%256)*59+23)%256",
+        "(((x.g*5+y.g*7)%256)*83+5)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "ta", 22, 14, "(x.g*2+y.g*19+4)%256", "(x.g*13+y.g+9)%256",
+        "(x.g*7+y.g*7+100)%256", "(x.g*3+y.g*11+50)%256")
+    + "\nORDER BY img_id, y, x"
+)
+
+
 def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-free FLAC decode (operators/flac.py), engine-vs-engine:
     three clips whose every PCM sample is a closed form over the sample
@@ -2784,6 +2980,8 @@ QUERIES = {
     "audio_mulaw_decode": audio_mulaw_decode,
     "image_png_decode": image_png_decode,
     "image_jpeg_decode": image_jpeg_decode,
+    "image_gif_decode": image_gif_decode,
+    "image_tiff_decode": image_tiff_decode,
     "audio_flac_decode": audio_flac_decode,
     "cdc_codec_invariant_chunks": cdc_codec_invariant_chunks,
     "audio_alaw_decode": audio_alaw_decode,
@@ -2845,6 +3043,8 @@ ORACLES = {
     "audio_mulaw_decode": AUDIO_MULAW_SQL,
     "image_png_decode": IMAGE_PNG_SQL,
     "image_jpeg_decode": IMAGE_JPEG_SQL,
+    "image_gif_decode": IMAGE_GIF_SQL,
+    "image_tiff_decode": IMAGE_TIFF_SQL,
     "audio_flac_decode": AUDIO_FLAC_SQL,
     "cdc_codec_invariant_chunks": CDC_CODEC_INVARIANT_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,

@@ -321,11 +321,23 @@ def decode_image(raw: bytes) -> np.ndarray:
         from .jpeg import jpeg_pixels  # pure-numpy baseline DCT decoder
 
         return jpeg_pixels(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_pixels  # pure-Python LZW decoder
+
+        return gif_pixels(raw)[:, :, :3]  # RGBA -> RGB for the feature path
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_pixels  # baseline TIFF (none/PackBits)
+
+        px = tiff_pixels(raw)
+        if px.ndim == 2:  # gray -> RGB for the feature path
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px[:, :, :3]
     raise NotImplementedError(
         "image decode: PPM P6, 24-bit BMP, PNG "
-        "(all depths/interlace/tRNS) and baseline+progressive JPEG are "
-        "decoded for real; other formats (WebP/TIFF/...) need PIL/opencv, "
-        "not in this image"
+        "(all depths/interlace/tRNS), baseline+progressive JPEG, GIF "
+        "(LZW/interlace/animation) and baseline TIFF (none/PackBits) are "
+        "decoded for real; other formats (WebP/compressed TIFF/...) need "
+        "PIL/opencv, not in this image"
     )
 
 
