@@ -2956,6 +2956,157 @@ ORDER BY p.clip_id, c.container
 """
 
 
+def _sketch_chunks(spark: SparkSession) -> DataFrame:
+    """Materialized transcript-chunk relation the sketch queries (and
+    their oracles) share."""
+    clips = load_clips(spark)
+    chunks = chunking.chunk_transcripts(
+        clips, "fastcdc-v1.0.0",
+        ChunkerOpts(min_size=64, normal_size=128, max_size=512))
+    return _materialize(spark, chunks.select("clip_id", "chunk_hash"),
+                        "sketch_chunks")
+
+
+def chunk_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog unique-chunk estimate (operators/sketches.py) vs the
+    exact distinct count, method-identical in both engines: the md5-
+    flavored sketch derives register index and rank from the md5 hex
+    string with engine-portable string ops, the register sum stays an
+    exact DECIMAL, and the single closing division uses the same
+    embedded double constant -- so DuckDB replays registers AND estimate
+    bit-for-bit. The 100 TB point: the register shuffle is <= 4096 tiny
+    rows per map task (partial MAX), vs a full corpus-wide shuffle for
+    the exact count."""
+    from .operators import sketches
+
+    ch = _sketch_chunks(spark)
+    est = sketches.hll_estimate(
+        sketches.hll_registers(ch, "chunk_hash", hash_mode="md5"))
+    exact = ch.agg(F.countDistinct("chunk_hash").cast("long")
+                   .alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact", "n_registers", "v_zero", "estimate",
+        F.round(F.abs(F.col("estimate") - F.col("n_exact"))
+                / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+_HLL_EST_CONST = repr(0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096
+                      * float(1 << 53))
+
+CHUNK_HLL_SQL = f"""
+WITH rest AS (
+  SELECT substring(md5(lower(hex(chunk_hash))), 1, 3) AS bucket,
+         substring(md5(lower(hex(chunk_hash))), 4, 13) AS r
+  FROM {_mat('sketch_chunks')}
+),
+rho AS (
+  SELECT bucket,
+    CASE WHEN length(regexp_extract(r, '^(0*)', 1)) = 13 THEN 53
+         ELSE 4 * length(regexp_extract(r, '^(0*)', 1))
+              + CASE substring(r, length(regexp_extract(r, '^(0*)', 1)) + 1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+  FROM rest
+),
+reg AS (SELECT bucket, max(rho) AS m_rho FROM rho GROUP BY bucket),
+agg AS (
+  SELECT sum(CAST(pow(2, 53 - m_rho) AS DECIMAL(38,0))) AS s_hi,
+         count(*)::BIGINT AS n_reg
+  FROM reg
+),
+est AS (
+  SELECT n_reg, 4096 - n_reg AS v,
+         CAST({_HLL_EST_CONST} AS DOUBLE)
+           / CAST(s_hi + (4096 - n_reg)::DECIMAL(38,0)
+                  * 9007199254740992::DECIMAL(38,0) AS DOUBLE) AS e_raw
+  FROM agg
+),
+fin AS (
+  SELECT n_reg, v,
+         round(CASE WHEN e_raw <= 10240.0 AND v > 0
+                    THEN 4096.0 * ln(4096.0 / v) ELSE e_raw END, 2) AS est
+  FROM est
+)
+SELECT x.n_exact, f.n_reg::BIGINT AS n_registers, f.v::BIGINT AS v_zero,
+       f.est AS estimate,
+       round(abs(f.est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM fin f, (SELECT count(DISTINCT chunk_hash)::BIGINT AS n_exact
+             FROM {_mat('sketch_chunks')}) x
+"""
+
+
+def corpus_overlap_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup planning (operators/sketches.py): two
+    overlapping sub-corpora of the chunk relation (split on the last
+    clip_id character),
+    each reduced to its bottom-256 sketch (k smallest md5 values of the
+    distinct chunk-hash set -- TakeOrdered, no corpus shuffle), then
+    Jaccard / containment estimated from the merged sketch next to the
+    exact values, so the estimate's quality is part of the checked
+    relation. This is the "how much would corpus B dedup against corpus
+    A" question answered from k rows per corpus instead of a
+    corpus x corpus join."""
+    from .operators import sketches
+
+    ch = _sketch_chunks(spark)
+    part = F.expr("ascii(right(clip_id, 1)) % 3")
+    a = ch.filter(part != 0)
+    b = ch.filter(part != 1)
+    k = 256
+    est = sketches.overlap_estimate(
+        sketches.bottom_k(a, "chunk_hash", k, hash_mode="md5"),
+        sketches.bottom_k(b, "chunk_hash", k, hash_mode="md5"), k)
+    ad = a.select("chunk_hash").distinct()
+    bd = b.select("chunk_hash").distinct()
+    inter = ad.intersect(bd).count()
+    na, nb = ad.count(), bd.count()
+    return est.select(
+        "k_union", "n_both", "jaccard_est", "containment_b_in_a",
+        F.round(F.lit(inter) / F.lit(na + nb - inter), 6)
+        .alias("jaccard_exact"),
+        F.round(F.lit(inter) / F.lit(nb), 6).alias("containment_exact"),
+    )
+
+
+CORPUS_OVERLAP_SQL = f"""
+WITH a AS (SELECT DISTINCT chunk_hash FROM {_mat('sketch_chunks')}
+           WHERE ascii(right(clip_id, 1)) % 3 <> 0),
+b AS (SELECT DISTINCT chunk_hash FROM {_mat('sketch_chunks')}
+      WHERE ascii(right(clip_id, 1)) % 3 <> 1),
+ska AS (SELECT DISTINCT md5(lower(hex(chunk_hash))) AS h FROM a ORDER BY h LIMIT 256),
+skb AS (SELECT DISTINCT md5(lower(hex(chunk_hash))) AS h FROM b ORDER BY h LIMIT 256),
+uk AS (
+  SELECT h AS u FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ORDER BY u LIMIT 256
+),
+marked AS (
+  SELECT u,
+         EXISTS (SELECT 1 FROM ska WHERE ska.h = uk.u) AS in_a,
+         EXISTS (SELECT 1 FROM skb WHERE skb.h = uk.u) AS in_b
+  FROM uk
+),
+est AS (
+  SELECT count(*)::BIGINT AS k_union,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM marked
+),
+ex AS (
+  SELECT (SELECT count(*) FROM a JOIN b USING (chunk_hash))::BIGINT AS inter,
+         (SELECT count(*) FROM a)::BIGINT AS na,
+         (SELECT count(*) FROM b)::BIGINT AS nb
+)
+SELECT e.k_union, e.n_both,
+       round(e.n_both / e.k_union, 6) AS jaccard_est,
+       round(e.n_both / e.n_b, 6) AS containment_b_in_a,
+       round(x.inter / (x.na + x.nb - x.inter), 6) AS jaccard_exact,
+       round(x.inter / x.nb, 6) AS containment_exact
+FROM est e, ex x
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -2987,6 +3138,8 @@ QUERIES = {
     "audio_alaw_decode": audio_alaw_decode,
     "audio_adpcm_decode": audio_adpcm_decode,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "chunk_distinct_hll": chunk_distinct_hll,
+    "corpus_overlap_bottomk": corpus_overlap_bottomk,
     # oracle-checked
     "doc_exact_dedup": doc_exact_dedup,
     "doc_length_stats": doc_length_stats,
@@ -3050,6 +3203,8 @@ ORACLES = {
     "audio_alaw_decode": AUDIO_ALAW_SQL,
     "audio_adpcm_decode": _adpcm_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
+    "chunk_distinct_hll": CHUNK_HLL_SQL,
+    "corpus_overlap_bottomk": CORPUS_OVERLAP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_length_stats": DOC_LENGTH_STATS_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
