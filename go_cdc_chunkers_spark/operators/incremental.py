@@ -297,6 +297,10 @@ def append_novel(
     store = spark.table(table)
     first = first_occurrence(novel_chunks(new_chunks, store))
     write_chunk_store(first, table, path, n_buckets=n_buckets, mode="append")
+    # sketch sidecar maintenance is idempotent (register MAX / set-union
+    # merges), so a replayed batch cannot skew the estimates; stores
+    # without a sidecar (legacy / band) are left untouched
+    merge_store_sketch(spark, new_chunks, path)
 
 
 def compact_store(
@@ -356,6 +360,16 @@ def compact_store(
             .parquet(os.path.join(tmp, _BAND_DF_DIR))
         )
 
+    if (meta["bucket_cols"] == ["chunk_hash"]
+            and os.path.isdir(os.path.join(path, _SKETCH_DIR))):
+        # exact sketch rebuild from the compacted relation, written inside
+        # the tmp dir so it swaps atomically with the data it describes
+        # (the sidecar-preserve loop below copies files only -- a stale
+        # _sketch DIRECTORY would otherwise be lost with the old tree)
+        k = read_store_sketch_meta(path)["k"]
+        _write_sketch_dirs(spark.table(tmp_table),
+                           os.path.join(tmp, _SKETCH_DIR), k)
+
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     old = path.rstrip("/") + ".old"
@@ -376,6 +390,145 @@ def compact_store(
     register_chunk_store(spark, table, path)
     return {"rows": int(rows), "files_before": files_before,
             "files_after": _nfiles(path)}
+
+
+# ---------------------------------------------------------------------------
+# Sketch sidecar: HLL registers + bottom-k of the store's chunk-hash set,
+# maintained mergeably so "how big is this store / how much would this
+# batch dedup" is answerable WITHOUT scanning the store (operators/
+# sketches.py documents the estimators). init/compact build it exactly;
+# append folds each batch in (MAX / set-union merges -- idempotent under
+# replay); estimate_vs_store reads sidecar + batch only.
+# ---------------------------------------------------------------------------
+
+_SKETCH_DIR = "_sketch"
+DEFAULT_SKETCH_K = 4096  # bottom-k size: containment sigma ~ 0.008
+
+
+def _write_sketch_dirs(chunks: DataFrame, sketch_dir: str, k: int) -> None:
+    """Write registers/ + bottomk/ + meta.json under sketch_dir (callers
+    own atomicity: build into a tmp dir, then _swap_sketch)."""
+    from .sketches import bottom_k, hll_registers
+
+    hll_registers(chunks, "chunk_hash").write.mode("overwrite").parquet(
+        os.path.join(sketch_dir, "registers"))
+    bottom_k(chunks, "chunk_hash", k, hash_mode="xxhash64").write.mode(
+        "overwrite").parquet(os.path.join(sketch_dir, "bottomk"))
+    tmp = os.path.join(sketch_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"k": int(k), "hash_mode": "xxhash64"}, f)
+    os.rename(tmp, os.path.join(sketch_dir, "meta.json"))
+
+
+def _swap_sketch(path: str, new_dir: str) -> None:
+    import shutil
+
+    final = os.path.join(path, _SKETCH_DIR)
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(final):
+        os.rename(final, old)
+    os.rename(new_dir, final)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_store_sketch_meta(path: str) -> dict | None:
+    p = os.path.join(path, _SKETCH_DIR, "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_store_sketch(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, int] | None:
+    """(registers, bottomk, k) from the sidecar, or None if absent."""
+    meta = read_store_sketch_meta(path)
+    if meta is None:
+        return None
+    d = os.path.join(path, _SKETCH_DIR)
+    return (spark.read.parquet(os.path.join(d, "registers")),
+            spark.read.parquet(os.path.join(d, "bottomk")), meta["k"])
+
+
+def write_store_sketch(spark: SparkSession, chunks: DataFrame, path: str,
+                       k: int = DEFAULT_SKETCH_K) -> None:
+    """Build the sidecar exactly from a chunk relation (init, compaction,
+    or a one-time backfill on a legacy store). Atomic dir swap."""
+    import shutil
+
+    tmp = os.path.join(path, _SKETCH_DIR + ".building")
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_sketch_dirs(chunks, tmp, k)
+    _swap_sketch(path, tmp)
+
+
+def merge_store_sketch(spark: SparkSession, batch_chunks: DataFrame,
+                       path: str) -> bool:
+    """Fold a batch's sketch into the sidecar (append path). Both merges
+    are idempotent -- registers by elementwise MAX, bottom-k by
+    set-union + re-limit -- so replayed batches leave the sidecar
+    unchanged. Returns False (no-op) when the store has no sidecar."""
+    import shutil
+
+    from .sketches import bottom_k, hll_merge, hll_registers
+
+    cur = read_store_sketch(spark, path)
+    if cur is None:
+        return False
+    reg, bk, k = cur
+    merged_reg = hll_merge(reg, hll_registers(batch_chunks, "chunk_hash"))
+    merged_bk = (bk.unionByName(
+        bottom_k(batch_chunks, "chunk_hash", k, hash_mode="xxhash64"))
+        .distinct().orderBy("h").limit(k))
+    tmp = os.path.join(path, _SKETCH_DIR + ".merging")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # materialize BEFORE the swap -- both inputs read the current sidecar
+    merged_reg.write.mode("overwrite").parquet(
+        os.path.join(tmp, "registers"))
+    merged_bk.write.mode("overwrite").parquet(os.path.join(tmp, "bottomk"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"k": int(k), "hash_mode": "xxhash64"}, f)
+    _swap_sketch(path, tmp)
+    return True
+
+
+def estimate_vs_store(spark: SparkSession, batch_chunks: DataFrame,
+                      path: str) -> dict:
+    """Dedup-planning estimates from the sidecar + the batch ONLY (the
+    store's bucketed data is never read): the store's unique-chunk count
+    (HLL), the batch's exact uniques (batch-sized, cheap), the estimated
+    novel uniques an append would add (HLL union minus store), and the
+    estimated fraction of the batch's uniques already in the store
+    (bottom-k containment). Raises if the sidecar is absent -- callers
+    decide whether a one-time write_store_sketch backfill is acceptable."""
+    from .sketches import (bottom_k, hll_estimate, hll_merge,
+                           hll_registers, overlap_estimate)
+
+    cur = read_store_sketch(spark, path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no sketch sidecar under {path}; build one with "
+            "write_store_sketch (one store scan) first")
+    reg, bk, k = cur
+    batch_reg = hll_registers(batch_chunks, "chunk_hash")
+    store_est = hll_estimate(reg).first()
+    union_est = hll_estimate(hll_merge(reg, batch_reg)).first()
+    n_batch = batch_chunks.select("chunk_hash").distinct().count()
+    ov = overlap_estimate(
+        bk, bottom_k(batch_chunks, "chunk_hash", k, hash_mode="xxhash64"),
+        k).first()
+    novel = max(0.0, round(union_est["estimate"] - store_est["estimate"], 2))
+    return {
+        "sketch_k": int(k),
+        "store_unique_est": store_est["estimate"],
+        "batch_unique_exact": int(n_batch),
+        "union_unique_est": union_est["estimate"],
+        "novel_unique_est": novel,
+        "containment_batch_in_store_est": ov["containment_b_in_a"],
+        "jaccard_est": ov["jaccard_est"],
+    }
 
 
 # ---------------------------------------------------------------------------

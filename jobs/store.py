@@ -120,7 +120,8 @@ def _chunks(spark, args, chunking_cfg: dict):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["init", "report", "append", "compact"])
+    ap.add_argument("cmd", choices=["init", "report", "append", "compact",
+                                "estimate"])
     ap.add_argument("--kind", choices=["chunks", "bands"], default="chunks",
                     help="chunks = exact-dedup store; bands = near-dup "
                          "LSH band store")
@@ -149,6 +150,8 @@ def main() -> int:
                     help="bands report: stop-band document frequency cap")
     ap.add_argument("--broadcast-batch", action="store_true",
                     help="small-batch inverted probe (store never shuffled/sorted)")
+    ap.add_argument("--sketch-k", dest="sketch_k", type=int, default=None,
+                    help="estimate/init: bottom-k sketch size (default 4096)")
     ap.add_argument("--limit", type=int, default=2000,
                     help="report: max per-clip/pair detail rows in the JSON "
                          "(aggregates stay exact; truncated:true marks a cut)")
@@ -159,7 +162,9 @@ def main() -> int:
     from go_cdc_chunkers_spark.session import get_spark
 
     if args.cmd != "compact" and not args.path:
-        ap.error("--path is required for init/report/append")
+        ap.error("--path is required for init/report/append/estimate")
+    if args.cmd == "estimate" and args.kind != "chunks":
+        ap.error("estimate is a chunk-store verb (exact-dedup planning)")
 
     table = BAND_TABLE if args.kind == "bands" else TABLE
     # the store's own bucketing metadata says what kind it is -- running a
@@ -190,12 +195,29 @@ def main() -> int:
                 raise SystemExit(f"store already exists at {args.store}")
             incremental.write_chunk_store(batch, TABLE, args.store,
                                           n_buckets=args.buckets)
+            incremental.write_store_sketch(
+                spark, batch, args.store,
+                k=args.sketch_k or incremental.DEFAULT_SKETCH_K)
             with open(os.path.join(args.store, CHUNKING_FILE), "w") as f:
                 json.dump(chunking_cfg, f)
             store = spark.table(TABLE)
             out = {"cmd": "init", "store": args.store,
                    "rows": store.count(), "buckets": args.buckets,
                    "chunking": chunking_cfg}
+        elif args.cmd == "estimate":
+            # sidecar + batch only -- the store's bucketed data is read at
+            # most ONCE, and only to backfill a legacy store's sidecar
+            built = False
+            if incremental.read_store_sketch_meta(args.store) is None:
+                store = incremental.register_chunk_store(
+                    spark, TABLE, args.store)
+                incremental.write_store_sketch(
+                    spark, store, args.store,
+                    k=args.sketch_k or incremental.DEFAULT_SKETCH_K)
+                built = True
+            out = {"cmd": "estimate", "store": args.store,
+                   "sketch_backfilled_from_store": built,
+                   **incremental.estimate_vs_store(spark, batch, args.store)}
         else:
             # bucketing + schema come from the store's own _store_meta.json
             store = incremental.register_chunk_store(spark, TABLE, args.store)
