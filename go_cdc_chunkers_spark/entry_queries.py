@@ -2597,9 +2597,12 @@ def image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes: it regenerates the expected relation from the same closed
     forms with generate_series. Covered: plain frame, the 4-pass
     interlace row schedule, transparency (transparent index leaves the
-    canvas clear -> all-zero RGBA), and a two-frame animation whose
-    second frame composites a patch at (11, 8) over the first (the
-    oracle expresses composition as a CASE over the patch rectangle)."""
+    canvas clear -> all-zero RGBA), and a three-frame animation: frame 1
+    composites a patch at (11, 8) over the base with disposal 3
+    (restore-to-previous), so frame 2's patch at (3, 12) composites onto
+    the REVERTED base -- the oracle expresses each frame as a CASE over
+    its own patch rectangle, with frame 1's rectangle absent from
+    frame 2's relation (the disposal-3 pin)."""
     import numpy as np
     import pandas as pd
 
@@ -2624,8 +2627,11 @@ def image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ((x * 3 + y * 5) % 16).astype(np.uint8)
     y, x = np.mgrid[0:6, 0:7]
     patch = ((x * 9 + y * 13 + 1) % 16).astype(np.uint8)
-    gm = gif_ops.gif_encode([(base, (0, 0)), (patch, (11, 8))],
-                            pal(37, 11, 59, 23, 83, 5, 16))
+    y, x = np.mgrid[0:5, 0:6]
+    patch2 = ((x * 7 + y * 5 + 3) % 16).astype(np.uint8)
+    gm = gif_ops.gif_encode(
+        [(base, (0, 0)), (patch, (11, 8)), (patch2, (3, 12))],
+        pal(37, 11, 59, 23, 83, 5, 16), disposals=[0, 3, 0])
     imgs = [("ga", ga), ("gi", gi), ("gt", gt), ("gm", gm)]
     df = spark.createDataFrame([(n, bytearray(b)) for n, b in imgs],
                                "img_id string, bytes binary")
@@ -2671,6 +2677,12 @@ _GM_IDX = ("(CASE WHEN y.g BETWEEN 8 AND 13 AND x.g BETWEEN 11 AND 17 "
            "THEN ((x.g-11)*9 + (y.g-8)*13 + 1) % 16 "
            "ELSE (x.g*3 + y.g*5) % 16 END)")
 
+# frame 2 after frame 1's disposal 3: frame 1's patch rectangle is
+# REVERTED to the base before patch2 at (3, 12) composites
+_GM2_IDX = ("(CASE WHEN y.g BETWEEN 12 AND 16 AND x.g BETWEEN 3 AND 8 "
+            "THEN ((x.g-3)*7 + (y.g-12)*5 + 3) % 16 "
+            "ELSE (x.g*3 + y.g*5) % 16 END)")
+
 IMAGE_GIF_SQL = (
     _gif_img_sql("ga", 0, 36, 24, "((x.g*5+y.g*3)%16)",
                  "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
@@ -2689,21 +2701,25 @@ IMAGE_GIF_SQL = (
     + "\nUNION ALL" + _gif_img_sql(
         "gm", 1, 30, 20, _GM_IDX,
         "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
+    + "\nUNION ALL" + _gif_img_sql(
+        "gm", 2, 30, 20, _GM2_IDX,
+        "({v}*37+11)%256", "({v}*59+23)%256", "({v}*83+5)%256")
     + "\nORDER BY img_id, f, y, x"
 )
 
 
 def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-free baseline TIFF decode (operators/tiff.py),
-    engine-vs-engine like image_png_decode: five images with closed-form
+    engine-vs-engine like image_png_decode: six images with closed-form
     pixels are encoded driver-side by tiff_encode -- covering both byte
-    orders, PackBits vs uncompressed, multi-strip layout, gray /
-    WhiteIsZero (decoder must invert) / RGB / palette-color (16-bit
-    ColorMap entries, decoder takes the high byte) / RGBA ExtraSamples
-    -- and Spark decodes the actual TIFF bytes through the real
-    tiff_pixels path inside mapInPandas. The DuckDB oracle regenerates
-    the expected relation from the same closed forms; it never sees the
-    bytes."""
+    orders, PackBits vs LZW (MSB-first, early-change width rule) vs
+    uncompressed, horizontal-differencing Predictor 2 under LZW,
+    multi-strip layout, gray / WhiteIsZero (decoder must invert) / RGB /
+    palette-color (16-bit ColorMap entries, decoder takes the high
+    byte) / RGBA ExtraSamples -- and Spark decodes the actual TIFF
+    bytes through the real tiff_pixels path inside mapInPandas. The
+    DuckDB oracle regenerates the expected relation from the same
+    closed forms; it never sees the bytes."""
     import numpy as np
     import pandas as pd
 
@@ -2732,7 +2748,13 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x * 2 + y * 19 + 4) % 256, (x * 13 + y + 9) % 256,
         (x * 7 + y * 7 + 100) % 256, (x * 3 + y * 11 + 50) % 256],
         axis=-1).astype(np.uint8), rows_per_strip=3)
-    imgs = [("tg", tg), ("tw", tw), ("tr", tr), ("tp", tp), ("ta", ta)]
+    y, x = np.mgrid[0:16, 0:27]
+    tz = tiff_ops.tiff_encode(np.stack([
+        (x * 5 + y * 11 + 2) % 256, (x * 9 + y * 3 + 40) % 256,
+        (x * 4 + y * 13 + 17) % 256], axis=-1).astype(np.uint8),
+        byteorder="big", lzw=True, predictor=2, rows_per_strip=6)
+    imgs = [("tg", tg), ("tw", tw), ("tr", tr), ("tp", tp), ("ta", ta),
+            ("tz", tz)]
     df = spark.createDataFrame([(n, bytearray(b)) for n, b in imgs],
                                "img_id string, bytes binary")
 
@@ -2778,6 +2800,9 @@ IMAGE_TIFF_SQL = (
     + "\nUNION ALL" + _png_img_sql(
         "ta", 22, 14, "(x.g*2+y.g*19+4)%256", "(x.g*13+y.g+9)%256",
         "(x.g*7+y.g*7+100)%256", "(x.g*3+y.g*11+50)%256")
+    + "\nUNION ALL" + _png_img_sql(
+        "tz", 27, 16, "(x.g*5+y.g*11+2)%256", "(x.g*9+y.g*3+40)%256",
+        "(x.g*4+y.g*13+17)%256")
     + "\nORDER BY img_id, y, x"
 )
 

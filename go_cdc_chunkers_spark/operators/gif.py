@@ -12,15 +12,15 @@ Supported (decoded for real, never guessed):
     4096-entry table, the KwKwK case);
   - interlaced frames (the 4-pass row schedule);
   - transparency via Graphic Control Extension;
-  - multi-frame animations with disposal methods 0/1 (keep) and
+  - multi-frame animations with every disposal method: 0/1 (keep),
     2 (restore to background, rendered as transparent per the universal
     browser behavior -- the background-color variant is unobservable in
-    practice because every modern renderer ignores it);
+    practice because every modern renderer ignores it) and 3
+    (restore-to-previous: the canvas reverts to its pre-draw state);
   - all extension blocks (comment / plain text / application) skipped
     structurally.
 
-Honest limits: disposal method 3 (restore-to-previous) raises
-NotImplementedError; malformed structure raises ValueError.
+Honest limits: malformed structure raises ValueError.
 
 Architecture note (same as png.py's Paeth row loop and jpeg.py's
 Huffman): LZW entropy decoding is inherently sequential bit-by-bit, so
@@ -303,9 +303,9 @@ def gif_frames(raw: bytes) -> list[tuple[np.ndarray, int]]:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("gif: palette index out of range")
         patch = np.dstack([pal[idx], np.full((fh, fw), 255, np.uint8)])
-        if disposal == 3:
-            raise NotImplementedError(
-                "gif: disposal method 3 (restore-to-previous)")
+        # disposal 3 (restore-to-previous): the canvas reverts to its
+        # pre-draw state after this frame is displayed
+        saved = canvas.copy() if disposal == 3 else None
         if transparent >= 0:
             opaque = idx != transparent
             region = canvas[fy:fy + fh, fx:fx + fw]
@@ -317,6 +317,8 @@ def gif_frames(raw: bytes) -> list[tuple[np.ndarray, int]]:
             # restore-to-background, rendered as transparent (see module
             # docstring) -- the frame's region becomes clear again
             canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif disposal == 3:
+            canvas = saved
         transparent = -1
         disposal = 0
         delay = 0

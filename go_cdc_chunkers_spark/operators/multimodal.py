@@ -326,7 +326,7 @@ def decode_image(raw: bytes) -> np.ndarray:
 
         return gif_pixels(raw)[:, :, :3]  # RGBA -> RGB for the feature path
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiff import tiff_pixels  # baseline TIFF (none/PackBits)
+        from .tiff import tiff_pixels  # TIFF (none/LZW/PackBits)
 
         px = tiff_pixels(raw)
         if px.ndim == 2:  # gray -> RGB for the feature path
@@ -335,8 +335,9 @@ def decode_image(raw: bytes) -> np.ndarray:
     raise NotImplementedError(
         "image decode: PPM P6, 24-bit BMP, PNG "
         "(all depths/interlace/tRNS), baseline+progressive JPEG, GIF "
-        "(LZW/interlace/animation) and baseline TIFF (none/PackBits) are "
-        "decoded for real; other formats (WebP/compressed TIFF/...) need "
+        "(LZW/interlace/animation/all disposals) and TIFF "
+        "(none/LZW+predictor/PackBits) are "
+        "decoded for real; other formats (WebP/tiled TIFF/...) need "
         "PIL/opencv, not in this image"
     )
 

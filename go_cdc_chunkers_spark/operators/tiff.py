@@ -12,11 +12,16 @@ Supported (decoded for real, never guessed):
     (ExtraSamples alpha), palette-color (ColorMap, 16-bit entries);
   - strip organisation (any RowsPerStrip, multiple strips, defaulted
     single strip), chunky PlanarConfiguration;
-  - Compression 1 (none) and 32773 (PackBits).
+  - Compression 1 (none), 5 (LZW: MSB-first bit packing with the
+    spec's EARLY-CHANGE width rule -- one code before the power of
+    two, unlike GIF's LSB-first late change -- Clear at table size
+    4094, per-strip streams) and 32773 (PackBits);
+  - Predictor 2 (horizontal differencing) for 8-bit samples, the
+    layout LZW files in the wild overwhelmingly use.
 
-Honest limits: planar (PlanarConfiguration=2), tiles, LZW/CCITT/JPEG
-compression, and 16-bit samples raise NotImplementedError; malformed
-structure raises ValueError.
+Honest limits: planar (PlanarConfiguration=2), tiles, CCITT/JPEG
+compression, 16-bit samples, and Predictor 2 on sub-byte depths raise
+NotImplementedError; malformed structure raises ValueError.
 
 Low bit depths are expanded to full 0..255 range exactly like png.py
 (bit replication: value * 255 / maxval is exact for 1/2/4-bit depths).
@@ -37,10 +42,149 @@ _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_EXTRA_SAMPLES = 338
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+_LZW_MAX = 4096  # 12-bit ceiling (TIFF 6.0, LZW section)
+
+
+def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
+    """Decode a TIFF LZW strip (Compression 5) to exactly ``expect``
+    bytes. Differs from gif._lzw_decode in exactly the spec deltas:
+    MSB-first bit packing, 256 byte roots with Clear=256/EOI=257, and
+    the EARLY-CHANGE width rule -- the reader widens as soon as
+    next_code == (1 << width) - 1, one code earlier than GIF, because
+    the writer's table runs one entry ahead. Same flat chain-array
+    architecture (prefix/suffix/first/length, backwards emission)."""
+    prefix = [0] * _LZW_MAX
+    suffix = bytearray(_LZW_MAX)
+    first = bytearray(_LZW_MAX)
+    length = [0] * _LZW_MAX
+    for c in range(256):
+        suffix[c] = first[c] = c
+        length[c] = 1
+    out = bytearray(expect)
+    pos = 0
+    next_code = _LZW_EOI + 1
+    width = 9
+    acc = 0
+    nbits = 0
+    prev = -1
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == _LZW_CLEAR:
+                next_code = _LZW_EOI + 1
+                width = 9
+                prev = -1
+                continue
+            if code == _LZW_EOI:
+                if pos != expect:
+                    raise ValueError(
+                        f"tiff: LZW ended with {pos}/{expect} bytes")
+                return bytes(out)
+            if prev < 0:
+                if code >= _LZW_CLEAR:
+                    raise ValueError("tiff: non-root LZW code after clear")
+                out[pos] = code
+                pos += 1
+                prev = code
+                continue
+            if code < next_code:
+                cur = code
+                kwk = False
+            elif code == next_code and next_code < _LZW_MAX:
+                cur = prev  # KwKwK: string(prev) + first(prev)
+                kwk = True
+            else:
+                raise ValueError(f"tiff: bad LZW code {code}")
+            ln = length[cur] + (1 if kwk else 0)
+            if pos + ln > expect:
+                raise ValueError("tiff: LZW output overruns strip")
+            p = pos + ln - 1
+            if kwk:
+                out[p] = first[prev]
+                p -= 1
+            c = cur
+            while True:
+                out[p] = suffix[c]
+                if length[c] == 1:
+                    break
+                c = prefix[c]
+                p -= 1
+            pos += ln
+            if next_code < _LZW_MAX:
+                prefix[next_code] = prev
+                suffix[next_code] = first[cur] if not kwk else first[prev]
+                first[next_code] = first[prev]
+                length[next_code] = length[prev] + 1
+                next_code += 1
+                # EARLY CHANGE: widen one code before the boundary
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = code
+    raise ValueError("tiff: LZW strip ended without EOI")
+
+
+def _lzw_encode_tiff(payload: bytes) -> bytes:
+    """Encode a strip as TIFF LZW: MSB-first, Clear first and whenever
+    the table reaches 4094 entries (the spec's mandated reset point),
+    EOI last. Width grows when next_code == 1 << width -- one entry
+    after the decoder's early-change rule, because the decoder's table
+    is one entry behind at each read."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = _LZW_EOI + 1
+    put(_LZW_CLEAR)
+    prev = -1
+    for b in payload:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev, b)
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        put(prev)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == _LZW_MAX - 2:  # 4094: spec-mandated reset
+            put(_LZW_CLEAR)
+            table.clear()
+            next_code = _LZW_EOI + 1
+            width = 9
+        prev = b
+    if prev >= 0:
+        put(prev)
+    put(_LZW_EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
@@ -140,9 +284,12 @@ def tiff_pixels(raw: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("tiff: zero dimensions")
     comp = tags.get(_T_COMPRESSION, [1])[0]
-    if comp not in (1, 32773):
-        raise NotImplementedError(f"tiff: compression {comp} (baseline is "
-                                  "1=none / 32773=PackBits)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"tiff: compression {comp} (decoded: "
+                                  "1=none / 5=LZW / 32773=PackBits)")
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {predictor}")
     if tags.get(_T_PLANAR, [1])[0] != 1:
         raise NotImplementedError("tiff: planar configuration 2")
     spp = tags.get(_T_SAMPLES, [1])[0]
@@ -176,6 +323,8 @@ def tiff_pixels(raw: bytes) -> np.ndarray:
             chunk = raw[soff:soff + want]
         if comp == 32773:
             chunk = _packbits_decode(chunk, want)
+        elif comp == 5:
+            chunk = _lzw_decode_tiff(chunk, want)
         if len(chunk) < want:
             raise ValueError("tiff: truncated strip")
         data += chunk[:want]
@@ -188,6 +337,13 @@ def tiff_pixels(raw: bytes) -> np.ndarray:
     else:
         vals = arr[:, :w * spp].reshape(h, w, spp) if spp > 1 \
             else arr[:, :w]
+    if predictor == 2:
+        if depth != 8:
+            raise NotImplementedError(
+                "tiff: predictor 2 on sub-byte samples")
+        # horizontal differencing: undo by a per-row, per-channel
+        # running sum mod 256 (uint8 accumulator wraps exactly)
+        vals = np.cumsum(vals, axis=1, dtype=np.uint8)
     if photo == 3:  # palette-color
         cmap = tags.get(_T_COLORMAP)
         if not cmap or len(cmap) != 3 * (1 << depth):
@@ -210,10 +366,15 @@ def tiff_pixels(raw: bytes) -> np.ndarray:
 
 def tiff_encode(img: np.ndarray, byteorder: str = "little",
                 rows_per_strip: int = 0, packbits: bool = False,
+                lzw: bool = False, predictor: int = 1,
                 photometric: int | None = None,
                 palette: np.ndarray | None = None) -> bytes:
     """Encode HxW (gray 8-bit or palette indices when ``palette`` is
-    given) / HxWx3 / HxWx4 uint8 into a baseline TIFF."""
+    given) / HxWx3 / HxWx4 uint8 into a baseline TIFF. ``lzw`` selects
+    Compression 5 (per-strip streams); ``predictor=2`` stores
+    horizontal differences (only meaningful with lzw)."""
+    if packbits and lzw:
+        raise ValueError("tiff: pick one compression")
     bo = byteorder
     magic = b"II*\x00" if bo == "little" else b"MM\x00*"
     h, w = img.shape[:2]
@@ -225,6 +386,16 @@ def tiff_encode(img: np.ndarray, byteorder: str = "little",
     else:
         photo = 1 if spp == 1 else 2
     rps = rows_per_strip or h
+    if predictor == 2:
+        # per-row, per-channel horizontal differences (uint8 wraps)
+        d = img.copy()
+        if img.ndim == 2:
+            d[:, 1:] -= img[:, :-1]
+        else:
+            d[:, 1:, :] -= img[:, :-1, :]
+        img = d
+    elif predictor != 1:
+        raise ValueError(f"tiff: predictor {predictor}")
     strips = []
     flat = img.reshape(h, -1)
     for s0 in range(0, h, rps):
@@ -232,6 +403,8 @@ def tiff_encode(img: np.ndarray, byteorder: str = "little",
         if packbits:
             strips.append(b"".join(_packbits_encode(bytes(r))
                                    for r in rows))
+        elif lzw:
+            strips.append(_lzw_encode_tiff(rows.tobytes()))
         else:
             strips.append(rows.tobytes())
 
@@ -254,8 +427,10 @@ def tiff_encode(img: np.ndarray, byteorder: str = "little",
     add(_T_WIDTH, 4, [w])
     add(_T_LENGTH, 4, [h])
     add(_T_BITS, 3, [8] * spp)
-    add(_T_COMPRESSION, 3, [32773 if packbits else 1])
+    add(_T_COMPRESSION, 3, [32773 if packbits else (5 if lzw else 1)])
     add(_T_PHOTOMETRIC, 3, [photo])
+    if predictor == 2:
+        add(_T_PREDICTOR, 3, [2])
     add(_T_STRIP_OFFSETS, 4, strip_offsets)
     add(_T_SAMPLES, 3, [spp])
     add(_T_ROWS_PER_STRIP, 4, [rps])

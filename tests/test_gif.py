@@ -166,13 +166,25 @@ def test_animation_disposal_restore_background():
     assert (f2[:3, 3:, 3] == 0).all()
 
 
-def test_disposal_3_raises():
+def test_disposal_3_restores_previous():
+    """Disposal 3: after the middle frame displays, the canvas reverts
+    to its pre-draw state, so frame 3 composites onto the BASE canvas
+    with no trace of frame 2's patch."""
     rng = np.random.default_rng(3)
-    idx, pal = _rand_img(rng, 5, 5, 4)
-    raw = G.gif_encode([(idx, (0, 0)), (idx, (0, 0))], pal,
-                       disposals=[3, 0])
-    with pytest.raises(NotImplementedError):
-        G.gif_frames(raw)
+    base, pal = _rand_img(rng, 8, 9, 4)
+    p2 = rng.integers(0, 4, (4, 4), dtype=np.uint8)
+    p3 = rng.integers(0, 4, (2, 3), dtype=np.uint8)
+    raw = G.gif_encode([(base, (0, 0)), (p2, (2, 2)), (p3, (5, 5))], pal,
+                       disposals=[0, 3, 0])
+    f1, f2, f3 = [f for f, _ in G.gif_frames(raw)]
+    assert (f1[:, :, :3] == pal[base]).all()
+    exp2 = pal[base].copy()
+    exp2[2:6, 2:6] = pal[p2]
+    assert (f2[:, :, :3] == exp2).all()
+    exp3 = pal[base].copy()  # p2 reverted by disposal 3
+    exp3[5:7, 5:8] = pal[p3]
+    assert (f3[:, :, :3] == exp3).all()
+    assert (f3[:, :, 3] == 255).all()
 
 
 def test_error_paths():

@@ -171,13 +171,16 @@ def test_error_paths():
         T.tiff_pixels(b"XXXX" + raw[4:])
     with pytest.raises(ValueError):
         T.tiff_pixels(raw[:6])  # IFD offset beyond the buffer
-    # LZW compression is explicitly not baseline -> NotImplementedError
-    lzw = bytearray(raw)
-    pos = lzw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
-    assert pos > 0
-    lzw[pos + 8:pos + 10] = (5).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError):
-        T.tiff_pixels(bytes(lzw))
+    # compression 7 (TIFF-JPEG) stays honestly unimplemented; a file
+    # CLAIMING LZW whose strips aren't a valid LZW stream is malformed
+    for comp, exc in ((7, NotImplementedError), (5, ValueError)):
+        bad = bytearray(raw)
+        pos = bad.find((259).to_bytes(2, "little")
+                       + (3).to_bytes(2, "little"))
+        assert pos > 0
+        bad[pos + 8:pos + 10] = (comp).to_bytes(2, "little")
+        with pytest.raises(exc):
+            T.tiff_pixels(bytes(bad))
     # planar configuration 2
     pl = bytearray(T.tiff_encode(np.zeros((4, 4, 3), np.uint8)))
     # append is hard; instead patch SamplesPerPixel path via tag 284 absent
@@ -215,3 +218,146 @@ def test_decode_image_wiring():
     out = decode_image(T.tiff_encode(rgba))
     assert out.shape == (8, 10, 3)
     assert (out == rgba[:, :, :3]).all()
+
+
+# ---------------------------------------------------------------------------
+# LZW (Compression 5): naive spec-pseudocode decoder as the independent
+# certification layer (the test_gif.py pattern), then full-file
+# round-trips incl. the horizontal-differencing predictor
+# ---------------------------------------------------------------------------
+
+def naive_tiff_lzw(data: bytes) -> tuple[bytes, int]:
+    """TIFF 6.0 LZW decoder straight from the spec's pseudocode:
+    byte-string table (no chain arrays), MSB-first reader, EARLY-CHANGE
+    width rule. Returns (decoded, number of mid-stream Clear codes)."""
+    table: list[bytes] = []
+
+    def init():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    init()
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    clears = -1  # the leading clear is mandatory, don't count it
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == 256:
+                init()
+                width = 9
+                prev = None
+                clears += 1
+                continue
+            if code == 257:
+                return bytes(out), clears
+            if prev is None:
+                s = table[code]
+            elif code < len(table):
+                s = table[code]
+                table.append(prev + s[:1])
+            elif code == len(table):
+                s = prev + prev[:1]
+                table.append(s)
+            else:
+                raise ValueError("naive: bad code")
+            out += s
+            prev = s
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    raise ValueError("naive: no EOI")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tiff_lzw_roundtrip_matches_naive(seed):
+    rng = np.random.default_rng(seed)
+    # mixed-entropy payload: random + runs + repeated motifs, large
+    # enough to force width 9 -> 10 -> 11 transitions
+    parts = [rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),
+             bytes([seed % 256]) * 2000,
+             rng.integers(0, 4, 4000, dtype=np.uint8).tobytes()]
+    payload = b"".join(parts)
+    enc = T._lzw_encode_tiff(payload)
+    got, _ = naive_tiff_lzw(enc)
+    assert got == payload
+    assert T._lzw_decode_tiff(enc, len(payload)) == payload
+
+
+def test_tiff_lzw_table_reset_at_4094():
+    """A high-entropy payload long enough to fill the table forces the
+    spec's Clear-at-4094 reset; both decoders must track it."""
+    rng = np.random.default_rng(99)
+    payload = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+    enc = T._lzw_encode_tiff(payload)
+    got, clears = naive_tiff_lzw(enc)
+    assert got == payload
+    assert clears >= 1  # the table really did fill and reset
+    assert T._lzw_decode_tiff(enc, len(payload)) == payload
+
+
+def test_tiff_lzw_kwkwk():
+    # 'aaaa...' is the classic KwKwK trigger right after the table seeds
+    for payload in (b"a" * 50, b"ababababab" * 9, b"\x00" * 3):
+        enc = T._lzw_encode_tiff(payload)
+        assert naive_tiff_lzw(enc)[0] == payload
+        assert T._lzw_decode_tiff(enc, len(payload)) == payload
+
+
+def test_tiff_lzw_error_paths():
+    enc = T._lzw_encode_tiff(b"hello world, hello lzw")
+    with pytest.raises(ValueError):
+        T._lzw_decode_tiff(enc[:-2], 22)  # truncated: EOI gone
+    with pytest.raises(ValueError):
+        T._lzw_decode_tiff(enc, 23)  # expect more than encoded
+    with pytest.raises(ValueError):
+        # 9-bit codes 256 (clear) then 511: non-root right after clear
+        T._lzw_decode_tiff(bytes([0x80, 0x7F, 0xC0]), 4)
+
+
+@pytest.mark.parametrize("bo", ["little", "big"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("rps", [0, 4])
+def test_lzw_image_roundtrip(bo, predictor, rps):
+    rng = np.random.default_rng(hash((bo, predictor, rps)) % 2**32)
+    for shape in [(13, 17), (13, 17, 3), (13, 17, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        raw = T.tiff_encode(img, byteorder=bo, lzw=True,
+                            predictor=predictor, rows_per_strip=rps)
+        got = T.tiff_pixels(raw)
+        assert got.shape == img.shape
+        assert (got == img).all()
+
+
+def test_predictor_tag_is_real():
+    """The predictor file differs from the plain one and carries tag
+    317 -- i.e. the decode path really exercised the cumsum undo."""
+    y, x = np.mgrid[0:9, 0:31]
+    smooth = ((x * 2 + y) % 256).astype(np.uint8)  # gradient: runs of +2
+    plain = T.tiff_encode(smooth, lzw=True)
+    pred = T.tiff_encode(smooth, lzw=True, predictor=2)
+    assert plain != pred
+    assert T._read_ifd(pred, "little")[T._T_PREDICTOR] == [2]
+    assert T._T_PREDICTOR not in T._read_ifd(plain, "little")
+    assert (T.tiff_pixels(pred) == smooth).all()
+    # smooth gradients are what predictor 2 exists for
+    assert len(pred) < len(plain)
+
+
+def test_lzw_palette_and_packbits_conflict():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    got = T.tiff_pixels(T.tiff_encode(idx, palette=pal, lzw=True))
+    assert (got == pal[idx]).all()
+    with pytest.raises(ValueError):
+        T.tiff_encode(idx, lzw=True, packbits=True)
+    with pytest.raises(ValueError):
+        T.tiff_encode(idx, predictor=3)
