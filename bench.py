@@ -32,7 +32,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Evidence modes (beyond the default one-line bench): --scaling (N vs 4N
 efficiency), --skew (candidate-stage hot-bucket growth), --store
-(bucketed-store probe shuffle volumes, see store_evidence()),
+(bucketed-store probe shuffle volumes, see store_evidence()), --sketch
+(sidecar dedup-planning estimate cost vs exact store scan, see
+sketch_evidence()),
 --pipeline-scale (volume amortization), --bigfile (GB-scale ranged
 chunking vs whole-buffer, stitch overhead + identity), --ab-pipeline
 (interleaved fresh-JVM neardup_pipeline, head tree vs a snapshot-commit
@@ -481,6 +483,112 @@ def store_evidence(cpus: int) -> dict:
             ev["store_probe_growth_broadcast"] = round(
                 ev[f"store_probe_sec_broadcast_{t1}"]
                 / ev[f"store_probe_sec_broadcast_{t0}"], 2)
+    finally:
+        spark.stop()
+    return ev
+
+
+def sketch_evidence(cpus: int) -> dict:
+    """Dedup-planning estimate cost (operators/incremental.py sketch
+    sidecar + operators/sketches.py): the petabyte question "how much
+    would appending this batch actually add?" answered WITHOUT touching
+    the store's data. Reuses store_evidence's cached bucketed stores
+    (SPARK_GRAFT_STORE_SIZES, default 4M/16M rows). Claims under
+    measurement:
+      - estimate_vs_store reads sidecar + batch only -- proven by
+        estimating from a directory holding NOTHING but the _sketch
+        sidecar (kilobytes on disk, size reported) and, for the real
+        store, by the flat estimate time as the store grows 4x;
+      - the exact answer (left_anti novel count) must scan the store,
+        so its cost grows with it -- that growth ratio is reported as
+        the contrast arm;
+      - the HLL novel-unique estimate lands within a few % of the
+        exact count (both reported; the batch is 400k rows, half dups
+        of store hashes, so truth is 200k novel uniques).
+    Run: python bench.py --sketch."""
+    import shutil
+
+    from go_cdc_chunkers_spark.operators import incremental
+    from go_cdc_chunkers_spark.session import get_spark
+
+    n_batch = 400_000
+    sizes = tuple(
+        int(s) * 1_000_000 for s in
+        os.environ.get("SPARK_GRAFT_STORE_SIZES", "4,16").split(",")
+        if s.strip())
+    spark = get_spark(app="bench-sketch", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ev: dict = {"sketch_batch_rows": n_batch,
+                "sketch_store_sizes": list(sizes),
+                "sketch_k": incremental.DEFAULT_SKETCH_K}
+    try:
+        for n in sizes:
+            tag = f"{n // 1_000_000}m"
+            bpath = os.path.join(BENCH_DIR, f"store_bucketed_{tag}")
+            table = f"bench_store_{tag}"
+            rows = _synth_chunk_rows(spark, n, salt=f"st{tag}")
+            cached = all(os.path.exists(os.path.join(bpath, f))
+                         for f in ("_SUCCESS", "_store_meta.json"))
+            if not cached:
+                incremental.write_chunk_store(rows, table, bpath,
+                                              n_buckets=64)
+            else:
+                incremental.register_chunk_store(spark, table, bpath)
+            if incremental.read_store_sketch_meta(bpath) is None:
+                t = time.time()  # one-time backfill: ONE store scan
+                incremental.write_store_sketch(spark, spark.table(table),
+                                               bpath)
+                ev[f"sketch_build_sec_{tag}"] = round(time.time() - t, 3)
+            sk_dir = os.path.join(bpath, incremental._SKETCH_DIR)
+            ev[f"sketch_sidecar_kb_{tag}"] = round(sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(sk_dir) for f in fs) / 1024, 1)
+            ev[f"sketch_store_disk_mb_{tag}"] = round(sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(bpath) for f in fs
+                if incremental._SKETCH_DIR not in r) / 1e6, 1)
+            batch = _synth_chunk_rows(
+                spark, n_batch, salt=f"nb{tag}",
+                n_dup_of=(f"st{tag}", n_batch // 2)).cache()
+            batch.count()
+            # the no-scan proof: a dir holding ONLY the sidecar
+            bare = os.path.join(BENCH_DIR, f"sketch_only_{tag}")
+            shutil.rmtree(bare, ignore_errors=True)
+            os.makedirs(bare)
+            shutil.copytree(sk_dir, os.path.join(
+                bare, incremental._SKETCH_DIR))
+            est = incremental.estimate_vs_store(spark, batch, bare)  # warm
+            best_est = float("inf")
+            best_exact = float("inf")
+            exact = -1
+            for _ in range(2):  # interleaved best-of-2 after warm
+                t = time.time()
+                est = incremental.estimate_vs_store(spark, batch, bare)
+                best_est = min(best_est, time.time() - t)
+                t = time.time()
+                exact = (incremental.novel_chunks(batch,
+                                                  spark.table(table))
+                         .select("chunk_hash").distinct().count())
+                best_exact = min(best_exact, time.time() - t)
+            ev[f"sketch_estimate_sec_{tag}"] = round(best_est, 3)
+            ev[f"sketch_exact_novel_sec_{tag}"] = round(best_exact, 3)
+            ev[f"sketch_novel_est_{tag}"] = est["novel_unique_est"]
+            ev[f"sketch_novel_exact_{tag}"] = exact
+            ev[f"sketch_novel_rel_err_{tag}"] = round(
+                abs(est["novel_unique_est"] - exact) / max(exact, 1), 4)
+            ev[f"sketch_containment_est_{tag}"] = \
+                est["containment_batch_in_store_est"]
+            batch.unpersist()
+        if len(sizes) >= 2:
+            t0 = f"{sizes[0] // 1_000_000}m"
+            t1 = f"{sizes[-1] // 1_000_000}m"
+            ev["sketch_store_growth_factor"] = round(sizes[-1] / sizes[0], 1)
+            ev["sketch_estimate_growth"] = round(
+                ev[f"sketch_estimate_sec_{t1}"]
+                / ev[f"sketch_estimate_sec_{t0}"], 2)
+            ev["sketch_exact_novel_growth"] = round(
+                ev[f"sketch_exact_novel_sec_{t1}"]
+                / ev[f"sketch_exact_novel_sec_{t0}"], 2)
     finally:
         spark.stop()
     return ev
@@ -1189,6 +1297,11 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--store":
         print(json.dumps({"metric": "incremental_store_probe",
                           **store_evidence(cpus)}))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--sketch":
+        print(json.dumps({"metric": "sketch_estimate_vs_scan",
+                          **sketch_evidence(cpus)}))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling":

@@ -402,7 +402,13 @@ def compact_store(
 # ---------------------------------------------------------------------------
 
 _SKETCH_DIR = "_sketch"
-DEFAULT_SKETCH_K = 4096  # bottom-k size: containment sigma ~ 0.008
+# bottom-k size. The batch-in-store containment estimate effectively
+# samples ~ k * |batch| / |store| points (the union bottom-k is
+# dominated by the bigger side), so k must absorb the store/batch
+# asymmetry: at k=65536 a 400k-unique batch probing a 64M-unique store
+# still gets ~400 sample points (sigma ~ 2.5%). Sidecar cost is ~2 MB
+# of parquet -- nothing next to the store it describes.
+DEFAULT_SKETCH_K = 65536
 
 
 def _write_sketch_dirs(chunks: DataFrame, sketch_dir: str, k: int) -> None:
@@ -499,10 +505,15 @@ def estimate_vs_store(spark: SparkSession, batch_chunks: DataFrame,
     """Dedup-planning estimates from the sidecar + the batch ONLY (the
     store's bucketed data is never read): the store's unique-chunk count
     (HLL), the batch's exact uniques (batch-sized, cheap), the estimated
-    novel uniques an append would add (HLL union minus store), and the
-    estimated fraction of the batch's uniques already in the store
-    (bottom-k containment). Raises if the sidecar is absent -- callers
-    decide whether a one-time write_store_sketch backfill is acceptable."""
+    fraction of the batch's uniques already in the store (bottom-k
+    containment, with its sample size and a sigma-derived error bar),
+    and the novel uniques an append would add -- batch_exact * (1 -
+    containment), whose error scales with the BATCH, not with the store
+    (the HLL union-minus-store difference is also reported, but
+    subtracting two store-sized estimates drowns a small batch in the
+    registers' ~1.6% noise). Raises if the sidecar is absent -- callers
+    decide whether a one-time write_store_sketch backfill is
+    acceptable."""
     from .sketches import (bottom_k, hll_estimate, hll_merge,
                            hll_registers, overlap_estimate)
 
@@ -519,14 +530,27 @@ def estimate_vs_store(spark: SparkSession, batch_chunks: DataFrame,
     ov = overlap_estimate(
         bk, bottom_k(batch_chunks, "chunk_hash", k, hash_mode="xxhash64"),
         k).first()
-    novel = max(0.0, round(union_est["estimate"] - store_est["estimate"], 2))
+    # novel uniques from the BATCH side: the batch's exact unique count
+    # times (1 - containment). The HLL difference (union - store) is
+    # reported too but is the wrong estimator when batch << store: it
+    # subtracts two large estimates whose ~1.6% sigma swamps a small
+    # batch. The containment route's error scales with the batch itself.
+    c = float(ov["containment_b_in_a"])
+    m = int(ov["n_b"])  # containment sample size (batch points in the
+    #                     union bottom-k); sigma ~ sqrt(c(1-c)/m)
+    sigma_c = (c * (1.0 - c) / m) ** 0.5 if m > 0 else 1.0
+    novel = round(n_batch * (1.0 - c), 2)
     return {
         "sketch_k": int(k),
         "store_unique_est": store_est["estimate"],
         "batch_unique_exact": int(n_batch),
         "union_unique_est": union_est["estimate"],
         "novel_unique_est": novel,
-        "containment_batch_in_store_est": ov["containment_b_in_a"],
+        "novel_unique_est_hll": max(0.0, round(
+            union_est["estimate"] - store_est["estimate"], 2)),
+        "novel_unique_sigma": round(n_batch * sigma_c, 2),
+        "containment_batch_in_store_est": c,
+        "containment_sample_size": m,
         "jaccard_est": ov["jaccard_est"],
     }
 

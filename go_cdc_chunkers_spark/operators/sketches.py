@@ -186,4 +186,11 @@ def overlap_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
         "k_union", "n_both",
         F.round(F.col("n_both") / F.col("k_union"), 6).alias("jaccard_est"),
         F.round(F.col("n_both") / F.col("n_b"), 6).alias("containment_b_in_a"),
+        # sample sizes: the containment estimate rides on n_b points, so
+        # its sigma ~ sqrt(c(1-c)/n_b) -- callers (estimate_vs_store)
+        # surface that as an honest error bar. For very asymmetric
+        # |A| >> |B| the union sample holds few B elements; size k to
+        # the asymmetry you need to resolve.
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
     )

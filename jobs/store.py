@@ -151,7 +151,8 @@ def main() -> int:
     ap.add_argument("--broadcast-batch", action="store_true",
                     help="small-batch inverted probe (store never shuffled/sorted)")
     ap.add_argument("--sketch-k", dest="sketch_k", type=int, default=None,
-                    help="estimate/init: bottom-k sketch size (default 4096)")
+                    help="estimate/init: bottom-k sketch size "
+                         "(default 65536)")
     ap.add_argument("--limit", type=int, default=2000,
                     help="report: max per-clip/pair detail rows in the JSON "
                          "(aggregates stay exact; truncated:true marks a cut)")

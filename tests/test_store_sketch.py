@@ -52,10 +52,15 @@ def test_estimates_match_ground_truth(spark, store):
     assert est["batch_unique_exact"] == 1500
     assert abs(est["store_unique_est"] - 2000) / 2000 < 0.05
     assert abs(est["union_unique_est"] - 2500) / 2500 < 0.05
-    # novel uniques: truth 500; HLL difference compounds two estimates
-    assert abs(est["novel_unique_est"] - 500) / 500 < 0.25
-    # containment truth 2/3; k=1024 sigma ~ 0.015
+    # novel uniques: truth 500, batch-side estimator (1500 * (1-c))
+    assert abs(est["novel_unique_est"] - 500) / 500 < 0.1
+    assert abs(est["novel_unique_est"] - 500) <= 3 * max(
+        est["novel_unique_sigma"], 1)  # the error bar is honest
+    # containment truth 2/3; k=1024 over a 2500-union: sigma ~ 0.02
     assert abs(est["containment_batch_in_store_est"] - 2 / 3) < 0.06
+    assert est["containment_sample_size"] > 300
+    # the HLL difference is reported too (store-sizing flavor)
+    assert abs(est["novel_unique_est_hll"] - 500) / 500 < 0.3
 
 
 def test_estimate_reads_sidecar_only(spark, store, tmp_path):
