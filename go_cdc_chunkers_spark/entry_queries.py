@@ -731,6 +731,85 @@ WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 """
 
 
+def lsh_salted_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skew-salted candidate enumeration (operators/candidates.py
+    skew_mode="salted" -- the north rule's "salted-join skew-mitigated LSH
+    bucket join", exact flavor) over two naturally-hot real blocking keys
+    on documents: token count and first token. Hot buckets (> pair_cap=8
+    members) run through the salted join -- each member salted into
+    G = ceil(m/8) groups, right side replicated per group, join keyed on
+    (band, group) so one bucket's pairs spread over G tasks. The result
+    must be EXACTLY the naive self-join's pair set (each unordered pair
+    once, a < b, deduped across the two blockings with src provenance
+    merged); the returned per-group counts + order-independent checksum
+    make the value hash certify that against DuckDB's plain enumeration."""
+    from .operators.candidates import candidate_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " +")
+    feat = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        F.element_at(w, 1).alias("t1"),
+    )
+    b0 = feat.select(
+        F.lit(0).alias("band_id"),
+        F.col("n_tok").cast("string").alias("band_hash"),
+        F.col("doc_id").alias("clip_id"),
+        F.lit("len").alias("src"),
+    )
+    b1 = feat.select(
+        F.lit(1).alias("band_id"),
+        F.col("t1").alias("band_hash"),
+        F.col("doc_id").alias("clip_id"),
+        F.lit("tok").alias("src"),
+    )
+    cand = candidate_pairs(
+        b0.unionByName(b1), pair_cap=8, skew_mode="salted", salt_target=8
+    )
+    return (
+        cand.groupBy((F.col("a") % 16).cast("int").alias("grp"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.size("srcs") == 2, 1).otherwise(0))
+            .cast("long").alias("n_both_blockings"),
+            F.sum(F.col("a") * 1048573 + F.col("b"))
+            .cast("long").alias("pair_checksum"),
+        )
+    )
+
+
+LSH_SALTED_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+),
+feat AS (
+  SELECT doc_id, len(w) AS n_tok, w[1] AS t1 FROM words
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM feat x JOIN feat y ON x.n_tok = y.n_tok AND x.doc_id < y.doc_id
+),
+p1 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM feat x JOIN feat y ON x.t1 = y.t1 AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT a, b, max(in0) AS in0, max(in1) AS in1 FROM (
+    SELECT a, b, 1 AS in0, 0 AS in1 FROM p0
+    UNION ALL
+    SELECT a, b, 0 AS in0, 1 AS in1 FROM p1
+  ) GROUP BY a, b
+)
+SELECT CAST(a % 16 AS INT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN in0 + in1 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both_blockings,
+       CAST(SUM(a * 1048573 + b) AS BIGINT) AS pair_checksum
+FROM pairs GROUP BY 1
+"""
+
+
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (md5 hash family so the full method -- shingle ->
     minhash -> band -> bucket join -> estimate -- is oracle-checkable)."""
@@ -3173,6 +3252,7 @@ QUERIES = {
     "region_revenue_rollup": region_revenue_rollup,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh": doc_minhash_lsh,
+    "lsh_salted_candidates": lsh_salted_candidates,
     "doc_token_stats": doc_token_stats,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "doc_quality_score": doc_quality_score,
@@ -3237,6 +3317,7 @@ ORACLES = {
     "region_revenue_rollup": REGION_REVENUE_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_minhash_lsh": _md5_minhash_sql(),
+    "lsh_salted_candidates": LSH_SALTED_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "doc_quality_score": DOC_QUALITY_SQL,

@@ -7,12 +7,26 @@ low-entropy LEST path) makes that quadratic. Handling, in order:
   1. explicit repartition on (band_id, band_hash) ahead of the self-join, so
      bucket work is spread and AQE's skew-join splitting has clean keys;
   2. buckets with size <= pair_cap join pairwise (the normal path);
-  3. buckets larger than pair_cap emit a *star* instead: every member is
-     connected to the bucket's minimum clip_id. That is linear in bucket
-     size and preserves exactly the same connected components downstream
-     (any clustering over candidate edges only needs connectivity, not the
-     full clique). Verification of star edges is identical -- members of a
-     giant identical-signature bucket are mutual near-dups by construction.
+  3. buckets larger than pair_cap take one of two hot-bucket modes:
+     - skew_mode="star" (default): every member is connected to the
+       bucket's minimum clip_id. Linear in bucket size and preserves
+       exactly the same connected components downstream (any clustering
+       over candidate edges only needs connectivity, not the full clique).
+       Verification of star edges is identical -- members of a giant
+       identical-signature bucket are mutual near-dups by construction.
+     - skew_mode="salted": the EXACT pair set, with the quadratic work
+       salted across tasks. Each hot-bucket member gets a deterministic
+       salt group g = xxhash64(clip_id) % G where G = ceil(m /
+       salt_target); the left side keeps its own group, the right side is
+       replicated to every group, and the join runs on (band key, group).
+       An unordered pair {x, y} survives exactly once: when left = the
+       lower-group member (or, within one group, the smaller clip_id). A
+       single m-member bucket becomes G join keys of ~salt_target left
+       rows each, so per-task pair output is bounded by ~salt_target * m
+       (linear in m) instead of m^2 on one task; the price is the G * m
+       replicated right rows (~m^2 / salt_target narrow shuffle rows).
+       Use it when downstream needs every pair (per-pair scoring /
+       reporting), not just connectivity.
 
 Dedup of (a,b) across bands/sources happens once here (a < b normalized).
 """
@@ -27,11 +41,18 @@ def candidate_pairs(
     bands: DataFrame,
     pair_cap: int = 64,
     shuffle_partitions: int | None = None,
+    skew_mode: str = "star",
+    salt_target: int | None = None,
 ) -> DataFrame:
-    """bands(band_id, band_hash, clip_id, src) -> candidates(a, b, src).
+    """bands(band_id, band_hash, clip_id, src) -> candidates(a, b, srcs).
 
     a < b; deduped across bands. Buckets larger than pair_cap produce star
-    edges (see module docstring)."""
+    edges (skew_mode="star", the connectivity-preserving linear default) or
+    the exact pair set salted across salt groups of ~salt_target members
+    (skew_mode="salted"; default salt_target = pair_cap). See the module
+    docstring for the trade."""
+    if skew_mode not in ("star", "salted"):
+        raise ValueError(f"skew_mode must be 'star' or 'salted', got {skew_mode!r}")
     key = ["band_id", "band_hash"]
     b = bands
     if shuffle_partitions:
@@ -40,7 +61,7 @@ def candidate_pairs(
         "_bucket_n", F.count("*").over(Window.partitionBy(*key))
     )
     small = sized.filter(F.col("_bucket_n") <= pair_cap).drop("_bucket_n")
-    big = sized.filter(F.col("_bucket_n") > pair_cap).drop("_bucket_n")
+    big = sized.filter(F.col("_bucket_n") > pair_cap)
 
     left = small.select(*key, F.col("clip_id").alias("a"), "src")
     right = small.select(*key, F.col("clip_id").alias("b"))
@@ -50,16 +71,52 @@ def candidate_pairs(
         .select("a", "b", "src")
     )
 
-    # Star edges for hot buckets: linear, same connectivity.
-    # min (not first): first() is nondeterministic under shuffle and would
-    # break the byte-identical resume contract on mixed-src hot buckets.
-    hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.min("src").alias("hub_src"))
-    pairs_big = (
-        big.drop("src")
-        .join(hub, key)
-        .filter(F.col("clip_id") != F.col("a"))
-        .select("a", F.col("clip_id").alias("b"), F.col("hub_src").alias("src"))
-    )
+    if skew_mode == "star":
+        big = big.drop("_bucket_n")
+        # Star edges for hot buckets: linear, same connectivity.
+        # min (not first): first() is nondeterministic under shuffle and
+        # would break the byte-identical resume contract on mixed-src hot
+        # buckets.
+        hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.min("src").alias("hub_src"))
+        pairs_big = (
+            big.drop("src")
+            .join(hub, key)
+            .filter(F.col("clip_id") != F.col("a"))
+            .select("a", F.col("clip_id").alias("b"), F.col("hub_src").alias("src"))
+        )
+    else:
+        # Salted exact pairs: G = ceil(m / salt_target) groups per bucket;
+        # both sides derive G from their own window count, so they agree.
+        st = salt_target or pair_cap
+        grouped = big.withColumn(
+            "_ng",
+            F.greatest(F.lit(1), F.ceil(F.col("_bucket_n") / st)).cast("int"),
+        ).withColumn(
+            "_g", F.pmod(F.xxhash64("clip_id"), F.col("_ng")).cast("int")
+        )
+        salt_left = grouped.select(
+            *key, F.col("_g").alias("_sg"), F.col("clip_id").alias("a"), "src"
+        )
+        salt_right = grouped.select(
+            *key,
+            F.explode(F.sequence(F.lit(0), F.col("_ng") - 1)).alias("_sg"),
+            F.col("_g").alias("_gb"),
+            F.col("clip_id").alias("b"),
+        )
+        pairs_big = (
+            salt_left.join(salt_right, key + ["_sg"])
+            .filter(
+                (F.col("_gb") > F.col("_sg"))
+                | ((F.col("_gb") == F.col("_sg")) & (F.col("b") > F.col("a")))
+            )
+            # cross-group emission picks the pair's lower-GROUP member as
+            # the left side, so normalize to the a < b contract here
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                "src",
+            )
+        )
 
     return (
         pairs_small.unionByName(pairs_big)

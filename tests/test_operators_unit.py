@@ -109,6 +109,36 @@ def test_candidate_pairs_skew_star(spark):
     assert len({r.component_id for r in comp}) == 1
 
 
+def test_candidate_pairs_salted_exact(spark):
+    # skew_mode="salted" must produce the EXACT pair set of the naive
+    # uncapped self-join -- hot bucket's full clique, cross-band dedup with
+    # merged srcs -- while salting the quadratic work across groups.
+    n = 120
+    hot = [(0, 1, f"c{i:03d}", "pcm") for i in range(n)]
+    overlap = [(1, 2, "c000", "text"), (1, 2, "c001", "text")]
+    cold = [(1, 3, "x1", "text"), (1, 3, "x2", "text")]
+    bands = spark.createDataFrame(
+        hot + overlap + cold,
+        "band_id int, band_hash long, clip_id string, src string",
+    )
+    rows = cand_ops.candidate_pairs(
+        bands, pair_cap=16, skew_mode="salted", salt_target=8
+    ).collect()
+    got = {(r.a, r.b): list(r.srcs) for r in rows}
+    want = {(f"c{i:03d}", f"c{j:03d}") for i in range(n) for j in range(i + 1, n)}
+    want.add(("x1", "x2"))
+    assert set(got) == want  # exact clique, no cap, each pair once
+    assert got[("c000", "c001")] == ["pcm", "text"]  # cross-band src merge
+    assert got[("c000", "c002")] == ["pcm"]
+    assert got[("x1", "x2")] == ["text"]  # small buckets untouched
+    # determinism (salt groups are xxhash64-derived, not random)
+    again = {(r.a, r.b): list(r.srcs) for r in cand_ops.candidate_pairs(
+        bands, pair_cap=16, skew_mode="salted", salt_target=8).collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        cand_ops.candidate_pairs(bands, skew_mode="sorted")
+
+
 def test_connected_components_chain_and_islands(spark):
     verts = spark.createDataFrame([(f"v{i}",) for i in range(10)], "clip_id string")
     # chain v0-v1-v2-v3, pair v5-v6, islands v4, v7..v9

@@ -68,6 +68,21 @@ def test_candidate_join_keys(spark):
     assert "Python" not in p  # entire join/verify path is JVM-side
 
 
+def test_candidate_salted_join_includes_salt_key(spark):
+    # The salted hot-bucket join must key on (band, salt group) -- that's
+    # the whole point: a hot bucket's pairs spread over G join keys instead
+    # of serializing on one task -- and stay JVM-side with no Cartesian.
+    bands = spark.createDataFrame(
+        [(0, 1, f"c{i}", "pcm") for i in range(50)],
+        "band_id int, band_hash long, clip_id string, src string",
+    )
+    cands = cand_ops.candidate_pairs(bands, pair_cap=8, skew_mode="salted")
+    p = plan(cands)
+    assert "_sg" in p  # salt group participates in the join key
+    assert "xxhash64" in p  # deterministic group assignment
+    assert "Python" not in p and "CartesianProduct" not in p
+
+
 def test_parquet_pushdown(spark):
     df = (
         spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")

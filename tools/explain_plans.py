@@ -60,6 +60,14 @@ def main() -> None:
          "(band_id, band_hash); hot buckets (> pair_cap) exit via the "
          "linear star path (window count + broadcast-able hub agg).",
          cands),
+        ("P7 salted exact candidates (skew_mode=\"salted\")",
+         "Exact-pair flavor: hot-bucket members salted into G = "
+         "ceil(m/salt_target) groups (xxhash64 pmod), the right side "
+         "replicated per group via explode(sequence(0, G-1)), and the "
+         "self-join keyed on (band_id, band_hash, _sg) -- the salt group "
+         "is IN the join key, so one bucket's quadratic emission spreads "
+         "over G tasks statically, no AQE needed. Still zero Python.",
+         cand_ops.candidate_pairs(bands, pair_cap=32, skew_mode="salted")),
         ("audio_fp fingerprint matching (materialized fingerprints -> pairs)",
          "Spectral-channel matching is all-JVM once fingerprints are "
          "materialized at the stage boundary: canonicalize (one Exchange on "
