@@ -23,6 +23,17 @@ localCheckpoint() after each round cuts the lineage so Catalyst does not
 re-plan an ever-growing DAG -- the classic iterative-DataFrame requirement
 (SURVEY.md section 4).
 
+Lineage cut has two flavors. localCheckpoint (default) caches on
+executors: fastest, but partitions die with an executor, and one
+local-mode scheduler race was observed hanging its eager materialization
+job (everything idle, DAG event loop parked -- Spark-internal, not
+reproducible on demand). checkpoint_dir=... round-trips each round's
+label table through parquet instead: durable against executor loss (the
+right call on a preemptible 1000-executor cluster), restartable
+mid-computation, and independent of RDD checkpoint machinery. Labels are
+2 narrow columns x n_vertices, so the per-round write is small next to
+the round's own shuffles; the pipeline passes its workdir automatically.
+
 At 100 TB scale all shuffles are keyed by clip_id; pre-partitioning edges
 and labels on the same key keeps rounds co-partitioned, and the O(log n)
 round bound keeps the sequential-shuffle count ~30 even at 10^12 vertices.
@@ -44,21 +55,40 @@ def connected_components(
     id_col: str = "clip_id",
     max_iter: int = 50,
     return_rounds: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """vertices(id), edges(a, b) -> components(clip_id, component_id).
 
     component_id is the lexicographic min clip_id of the component.
     Raises ConvergenceError if labels are still changing after max_iter
-    rounds (never returns silently wrong labels)."""
-    labels = vertices.select(
-        F.col(id_col).alias("clip_id"), F.col(id_col).alias("component_id")
-    ).localCheckpoint()
+    rounds (never returns silently wrong labels). checkpoint_dir switches
+    the per-round lineage cut from executor-memory localCheckpoint to a
+    durable parquet round-trip under that directory (see module
+    docstring); labels are identical either way."""
+    if checkpoint_dir is not None:
+        import os
 
-    und = (
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        spark = vertices.sparkSession
+        seq = [0]
+
+        def _cut(df: DataFrame) -> DataFrame:
+            seq[0] += 1
+            p = os.path.join(checkpoint_dir, f"cc_{seq[0]:03d}.parquet")
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+    else:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    labels = _cut(vertices.select(
+        F.col(id_col).alias("clip_id"), F.col(id_col).alias("component_id")
+    ))
+
+    und = _cut(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
 
     rounds = 0
@@ -94,8 +124,8 @@ def connected_components(
                        < F.col("component_id"))
                 ).alias("_changed"),
             )
-            .localCheckpoint()
         )
+        merged = _cut(merged)
         changed = merged.filter(F.col("_changed")).limit(1).count()
         labels = merged.drop("_changed")
         if changed == 0:

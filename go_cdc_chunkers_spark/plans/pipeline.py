@@ -445,8 +445,13 @@ class Pipeline:
             edges = edges.unionByName(extra_edges.select("a", "b")).distinct()
         comps = self.stage(
             "components",
+            # durable per-round lineage cut under the workdir instead of
+            # executor-memory localCheckpoint: survives executor loss on a
+            # real cluster and sidesteps a rare local-mode hang observed in
+            # localCheckpoint's eager job (components.py module docstring)
             lambda: components.connected_components(
-                clips.select("clip_id"), edges.select("a", "b")
+                clips.select("clip_id"), edges.select("a", "b"),
+                checkpoint_dir=os.path.join(self.workdir, "_cc_rounds"),
             ),
         )
         return comps

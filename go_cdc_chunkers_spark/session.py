@@ -40,9 +40,19 @@ def get_spark(
     py_path = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in py_path.split(os.pathsep):
         py_path = pkg_parent + (os.pathsep + py_path if py_path else "")
+    # Respect an externally-provided master: under spark-submit the Python
+    # driver is spawned BY the JVM (PYSPARK_GATEWAY_PORT is set) and
+    # --master already lives in the JVM conf; calling .master() here would
+    # override the cluster master with local[N] on every deployment. The
+    # env check (not SparkConf().contains("spark.master")) matters: in a
+    # plain-python process the first session leaks spark.master into the
+    # gateway JVM's system properties, so a conf probe would pin every
+    # later get_spark(cpus=...) in that process to the FIRST call's level.
+    b = SparkSession.builder
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

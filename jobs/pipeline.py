@@ -125,6 +125,9 @@ def main() -> int:
         "seconds": round(dt, 2),
         "clips_per_sec": round(n_clips / dt, 2),
         "workdir": args.workdir,
+        # ops breadcrumb; also pins that a spark-submit --master was
+        # respected, not overridden by get_spark's local default
+        "master": spark.conf.get("spark.master"),
     }))
     spark.stop()
     return 0

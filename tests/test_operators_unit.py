@@ -152,6 +152,27 @@ def test_connected_components_chain_and_islands(spark):
     assert comp["v4"] == "v4" and comp["v9"] == "v9"
 
 
+def test_connected_components_checkpoint_dir_identical(spark, tmp_path):
+    # The durable parquet lineage cut (checkpoint_dir=...) must yield
+    # labels identical to the localCheckpoint default, chain included
+    # (multiple rounds -> multiple cut round-trips).
+    verts = spark.createDataFrame([(f"v{i:02d}",) for i in range(30)],
+                                  "clip_id string")
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(24)],  # 25-node chain
+        "a string, b string",
+    )
+    base = {(r.clip_id, r.component_id) for r in
+            components.connected_components(verts, edges).collect()}
+    durable = {(r.clip_id, r.component_id) for r in
+               components.connected_components(
+                   verts, edges,
+                   checkpoint_dir=str(tmp_path / "cc")).collect()}
+    assert durable == base
+    import os
+    assert any(n.startswith("cc_") for n in os.listdir(tmp_path / "cc"))
+
+
 # ---------------------------------------------------------------------------
 # ANN
 # ---------------------------------------------------------------------------
