@@ -176,6 +176,167 @@ def generate_clips(
     return rows, truth
 
 
+def _base_clip(seed: int, i: int, sr: int, min_ms: int, max_ms: int):
+    """Base clip i as a pure function of (seed, i): own PCG64 stream, same
+    draw order as generate_clips' base loop. Returns (pcm, words, dur_ms)."""
+    rng = np.random.default_rng([seed, 0, i])
+    dur_ms = int(rng.integers(min_ms, max_ms))
+    n_samples = sr * dur_ms // 1000
+    freq = float(rng.uniform(80, 3000))
+    pcm = _sine_noise_pcm(rng, n_samples, freq, sr, noise_amp=0.05)
+    words = [WORDS[int(rng.integers(0, len(WORDS)))]
+             for _ in range(int(rng.integers(5, 20)))]
+    return pcm, words, dur_ms
+
+
+def generate_clips_df(
+    spark,
+    n_base: int = 120,
+    dup_frac: float = 0.25,
+    near_frac: float = 0.25,
+    n_const: int = 4,
+    seed: int = 42,
+    sr: int = 16000,
+    min_ms: int = 150,
+    max_ms: int = 1200,
+    n_edits: int = 16,
+    mixed_codecs: bool = False,
+    num_partitions: int | None = None,
+):
+    """Executor-side twin of generate_clips: the deployment-shaped corpus.
+
+    generate_clips builds the whole corpus as one driver-side Python list
+    off a single sequential RNG stream -- fine for tests, fatal for the
+    spark-submit face (at n_base=12000 that is a ~400 MB list funneled
+    through createDataFrame into a default-1g driver heap; measured as a
+    GC-thrash stall, core-count independent). Here every clip is a pure
+    function of (seed, role, index) via its own PCG64 stream
+    (default_rng([seed, role, k])), so generation runs INSIDE mapInPandas
+    over spark.range: nothing crosses the driver, partitioning cannot
+    change the data, and a 10^12-row range would distribute the same way.
+    Same schema, duplicate-group structure, and edit model (resync.go:
+    134-147 insertions; SNR >= 30 dB jitter) as generate_clips; the bytes
+    differ (per-clip streams, not the sequential stream) by design.
+
+    Returns (clips_df, truth_df) where truth_df(clip_id, group_id) is
+    computed by the same index arithmetic with a second cheap pass (no PCM
+    synthesis)."""
+    n_dup = int(n_base * dup_frac)
+    n_near = int(n_base * near_frac)
+    n_total = n_base + n_dup + n_near + n_const
+    p = dict(n_base=n_base, n_dup=n_dup, n_near=n_near, seed=seed, sr=sr,
+             min_ms=min_ms, max_ms=max_ms, n_edits=n_edits,
+             mixed=mixed_codecs)
+
+    def _role(i: int):
+        if i < p["n_base"]:
+            return "base", i
+        if i < p["n_base"] + p["n_dup"]:
+            return "dup", i - p["n_base"]
+        if i < p["n_base"] + p["n_dup"] + p["n_near"]:
+            return "near", i - p["n_base"] - p["n_dup"]
+        return "const", i - p["n_base"] - p["n_dup"] - p["n_near"]
+
+    def _src(kind: str, k: int) -> int:
+        role = 1 if kind == "dup" else 2
+        return int(np.random.default_rng(
+            [p["seed"], role, k]).integers(0, p["n_base"]))
+
+    def _group(i: int) -> int:
+        kind, k = _role(i)
+        if kind == "base":
+            return i
+        if kind == "const":
+            return p["n_base"] + (k % 2)
+        return _src(kind, k)
+
+    def _make_row(i: int) -> dict:
+        kind, k = _role(i)
+        clip_id = f"clip-{i:08d}"
+        if kind == "base":
+            pcm, words, dur_ms = _base_clip(
+                p["seed"], i, p["sr"], p["min_ms"], p["max_ms"])
+        elif kind == "dup":
+            pcm, words, _ = _base_clip(
+                p["seed"], _src(kind, k), p["sr"], p["min_ms"], p["max_ms"])
+            dur_ms = len(pcm) * 1000 // p["sr"]
+        elif kind == "near":
+            base_pcm, base_words, _ = _base_clip(
+                p["seed"], _src(kind, k), p["sr"], p["min_ms"], p["max_ms"])
+            rng = np.random.default_rng([p["seed"], 3, k])
+            pcm = _insert_samples(rng, base_pcm, p["n_edits"])
+            if k % 2 == 1:
+                pcm = _jitter(rng, pcm)
+            words = _edit_transcript(rng, base_words)
+            dur_ms = len(pcm) * 1000 // p["sr"]
+        else:  # const
+            fill = 0 if k % 2 == 0 else 0xAA
+            raw = np.full(p["sr"], fill, dtype=np.uint8)
+            return dict(clip_id=clip_id, bytes=raw.tobytes(),
+                        sr_hz=p["sr"], dur_ms=500, codec="pcm_s16le",
+                        transcript=("digital silence flat padding"
+                                    if fill == 0 else
+                                    "alternating bitpattern carrier hum"))
+        row = dict(clip_id=clip_id, bytes=pcm.tobytes(), sr_hz=p["sr"],
+                   dur_ms=dur_ms, codec="pcm_s16le",
+                   transcript=" ".join(words))
+        if p["mixed"] and i % 3:
+            pcm16 = np.frombuffer(row["bytes"], dtype="<i2")
+            if i % 3 == 1:
+                from go_cdc_chunkers_spark.operators.flac import flac_encode
+                row["bytes"] = bytes(
+                    flac_encode(pcm16.astype(np.int64), p["sr"]))
+                row["codec"] = "flac"
+            else:
+                row["bytes"] = wav_wrap(pcm16, p["sr"])
+                row["codec"] = "wav"
+        return row
+
+    def _gen(batches):
+        import pandas as pd
+        buf, buf_bytes = [], 0
+        for pdf in batches:
+            for i in pdf["id"].tolist():
+                row = _make_row(int(i))
+                buf.append(row)
+                buf_bytes += len(row["bytes"])
+                if len(buf) >= 256 or buf_bytes >= (32 << 20):
+                    yield pd.DataFrame(buf)
+                    buf, buf_bytes = [], 0
+        if buf:
+            yield pd.DataFrame(buf)
+
+    def _truth(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"].tolist()]
+            yield pd.DataFrame({
+                "clip_id": [f"clip-{i:08d}" for i in ids],
+                "group_id": [_group(i) for i in ids],
+            })
+
+    rng_ids = spark.range(0, n_total, 1, num_partitions) if num_partitions \
+        else spark.range(n_total)
+    clips = rng_ids.mapInPandas(
+        _gen, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    truth = rng_ids.mapInPandas(_truth, "clip_id string, group_id long")
+    return clips, truth
+
+
+def wav_wrap(pcm16: np.ndarray, sr: int) -> bytes:
+    """Minimal RIFF/WAVE (fmt 1, mono s16le) container around raw PCM."""
+    payload = pcm16.astype("<i2").tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
 def generate_chord_clips(
     n_base: int = 40,
     dup_frac: float = 0.2,

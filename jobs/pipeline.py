@@ -68,41 +68,12 @@ def main() -> int:
     spark = get_spark(app="neardup-pipeline", cpus=args.cpus)
 
     if args.synthetic:
-        rows, _ = clips_src.generate_clips(n_base=args.synthetic)
-        if args.mixed_codecs:
-            import numpy as np
-
-            from go_cdc_chunkers_spark.operators.flac import flac_encode
-
-            def _wav(pcm16, sr):
-                payload = pcm16.tobytes()
-                fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-                       + sr.to_bytes(4, "little")
-                       + (sr * 2).to_bytes(4, "little")
-                       + (2).to_bytes(2, "little")
-                       + (16).to_bytes(2, "little"))
-                body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-                body += b"data" + len(payload).to_bytes(4, "little") + payload
-                if len(payload) % 2:
-                    body += b"\x00"
-                return (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
-                        + b"WAVE" + body)
-
-            for i, r in enumerate(rows):
-                pcm = np.frombuffer(r["bytes"], dtype="<i2")
-                if i % 3 == 1:
-                    r["bytes"] = bytes(
-                        flac_encode(pcm.astype(np.int64), r["sr_hz"]))
-                    r["codec"] = "flac"
-                elif i % 3 == 2:
-                    r["bytes"] = _wav(pcm, r["sr_hz"])
-                    r["codec"] = "wav"
-        clips = spark.createDataFrame(
-            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
-              r["codec"], r["transcript"]) for r in rows],
-            schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
-                   "codec string, transcript string",
-        )
+        # Executor-side generation (generate_clips_df): every clip is a
+        # pure function of (seed, role, index), so the corpus never
+        # crosses the driver -- the driver-list flavor stalls a default
+        # 1g spark-submit driver heap past ~10k base clips.
+        clips, _ = clips_src.generate_clips_df(
+            spark, n_base=args.synthetic, mixed_codecs=args.mixed_codecs)
     elif args.clips:
         clips = iceberg.read_table(spark, args.clips)
     else:

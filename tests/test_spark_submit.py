@@ -69,13 +69,7 @@ def test_spark_submit_pipeline_from_zip(tmp_path):
     from go_cdc_chunkers_spark.sources import clips as clips_src
 
     spark = get_spark(app="submit-parity", cpus=2, shuffle_partitions=8)
-    rows, _ = clips_src.generate_clips(n_base=8)
-    clips = spark.createDataFrame(
-        [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
-          r["codec"], r["transcript"]) for r in rows],
-        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
-               "codec string, transcript string",
-    )
+    clips, _ = clips_src.generate_clips_df(spark, n_base=8)
     comps = Pipeline(spark, str(tmp_path / "wd2"), PipelineConfig()).run(clips)
     assert comps.count() == out["clips"]
     assert comps.select("component_id").distinct().count() == out["components"]
