@@ -721,6 +721,11 @@ def submit_scaling_evidence() -> dict:
                     try:
                         proc = subprocess.run(
                             [submit, "--master", f"local[{n}]",
+                             # a real executor gets several GB; submit's 1g
+                             # default is a misconfiguration for binary-
+                             # heavy tables, not a level playing field
+                             "--driver-memory",
+                             os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "4g"),
                              "--py-files", zip_path,
                              job, "--synthetic", str(nb), "--workdir", wd,
                              "--cpus", str(n)],

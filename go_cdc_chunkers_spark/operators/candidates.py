@@ -320,6 +320,15 @@ def containment_pass(
         verified.join(t.withColumnRenamed("clip_id", "a").withColumnRenamed("_t", "_ta"), "a")
         .join(t.withColumnRenamed("clip_id", "b").withColumnRenamed("_t", "_tb"), "b")
     )
+    # Pin this stage's parallelism: AQE's post-shuffle coalescing merges
+    # partitions by BYTES, but the per-row cost here is Python suffix-array
+    # work, so byte-balanced partitions are CPU-imbalanced. Measured at
+    # local[2]/18k clips: AQE coalesced the 233k pairs to 2 partitions
+    # split 175k/58k -- one core idled while the stage ran 6x slower than
+    # local[8]. Explicit (n, keys) hash repartitioning is exempt from AQE
+    # coalescing; hashing on the distinct pair key balances rows.
+    n_parts = int(joined.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = joined.repartition(n_parts, "a", "b")
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in verified.schema.fields
@@ -327,22 +336,29 @@ def containment_pass(
 
     cols = [f.name for f in verified.schema.fields]
 
+    def _contains(hay: str, needle: str, sa_cache: dict) -> bool:
+        # Hybrid: below the cutover, CPython's C substring scan beats
+        # building a Python/numpy suffix array outright (transcripts are
+        # tens of chars; measured ~4x on the containment stage). The SA
+        # pays for itself on LONG documents, where O(n log^2 n) build +
+        # O(m log n) probes amortized across a hub's many pairs wins over
+        # repeated O(n m) scans; its correctness stays pinned by
+        # test_sa_contains_matches_in either way.
+        if len(hay) < 4096:
+            return needle in hay
+        got = sa_cache.get(hay)
+        if got is None:
+            got = sa_cache[hay] = _suffix_array(hay)
+        return _sa_contains(hay, needle, got)
+
     def _check(batches):
         for pdf in batches:
-            # One suffix array per distinct document per Arrow batch: docs
-            # recur across pairs (a hub transcript appears in many verified
-            # pairs), so cache by the string object. Construction dominates
-            # (O(n log^2 n)) -- the bounded-probe lookups are cheap.
+            # One suffix array per distinct long document per Arrow batch:
+            # docs recur across pairs (a hub transcript appears in many
+            # verified pairs), so cache by the string object.
             sa_cache: dict[str, object] = {}
-
-            def _sa(s: str):
-                got = sa_cache.get(s)
-                if got is None:
-                    got = sa_cache[s] = _suffix_array(s)
-                return got
-
             cont = [
-                _sa_contains(ta, tb, _sa(ta)) or _sa_contains(tb, ta, _sa(tb))
+                _contains(ta, tb, sa_cache) or _contains(tb, ta, sa_cache)
                 for ta, tb in zip(pdf["_ta"], pdf["_tb"])
             ]
             out = pdf[cols].copy()

@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # Vectorized parquet reads buffer columnarReaderBatchSize ROWS per
+        # task; the default 4096 assumes narrow rows. This engine's tables
+        # carry multi-KB binary audio cells, so 4096 x ~21 KB x n_cores
+        # concurrent tasks OOMed a 1g spark-submit heap at local[8]
+        # (measured: chunks_pcm reading the 18k-clip corpus). 512 bounds
+        # the per-task scan buffer at ~10 MB for such tables while leaving
+        # narrow-table scans whole-stage-codegen'd and fast.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

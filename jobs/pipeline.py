@@ -71,9 +71,19 @@ def main() -> int:
         # Executor-side generation (generate_clips_df): every clip is a
         # pure function of (seed, role, index), so the corpus never
         # crosses the driver -- the driver-list flavor stalls a default
-        # 1g spark-submit driver heap past ~10k base clips.
-        clips, _ = clips_src.generate_clips_df(
-            spark, n_base=args.synthetic, mixed_codecs=args.mixed_codecs)
+        # 1g spark-submit driver heap past ~10k base clips. Materialize it
+        # ONCE under the workdir: the pipeline scans its input 4+ times
+        # (chunks, shingles, simhash, containment, components) and a
+        # mapInPandas source would re-synthesize all PCM per scan with no
+        # column pruning; a real deployment's input is already a table,
+        # so the generator should be one too. Idempotent like the stages.
+        src = os.path.join(args.workdir, "clips_input")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            gen, _ = clips_src.generate_clips_df(
+                spark, n_base=args.synthetic,
+                mixed_codecs=args.mixed_codecs)
+            gen.write.mode("overwrite").parquet(src)
+        clips = spark.read.parquet(src)
     elif args.clips:
         clips = iceberg.read_table(spark, args.clips)
     else:
