@@ -202,3 +202,22 @@ def test_audio_fp_pairs_equi_join_only(spark, tmp_path):
     p = plan(pairs)
     assert "CartesianProduct" not in p
     assert "MapInPandas" not in p and "Python" not in p
+
+
+def test_containment_stage_pins_explicit_repartition(spark, clips):
+    """The containment mapInPandas is CPU-bound Python per row, so its
+    parallelism must come from an explicit hash repartition on the pair
+    key (shuffle.partitions wide), NOT from AQE's byte-based coalescing --
+    AQE merged 233k pairs into 2 partitions split 175k/58k over 2 cores
+    (measured, round 5), idling half the cluster on the stage."""
+    t = clips.withColumn("transcript", F.concat(F.lit("words for "), "clip_id"))
+    verified = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(10)], "a string, b string")
+    out = cand_ops.containment_pass(verified, t)
+    p = plan(out)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f"hashpartitioning(a#" in p or "hashpartitioning(a" in p
+    # the repartition must carry the explicit width (exempt from AQE
+    # coalescing), and the Python stage must sit above it
+    assert f", {n_parts})" in p
+    assert p.count("MapInPandas") == 1
