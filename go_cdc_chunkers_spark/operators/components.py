@@ -67,15 +67,26 @@ def connected_components(
     docstring); labels are identical either way."""
     if checkpoint_dir is not None:
         import os
+        import shutil
 
         os.makedirs(checkpoint_dir, exist_ok=True)
         spark = vertices.sparkSession
         seq = [0]
+        # cc_001 (initial labels) and cc_002 (undirected edges, re-read
+        # EVERY round) must live for the whole computation; label merges
+        # (cc_003+) are each fully consumed by the next round's write, so
+        # only the newest is needed for restart. Without reclamation a
+        # 10^12-vertex run would hold ~30 rounds x the full label table.
+        prev_merge = [None]
 
         def _cut(df: DataFrame) -> DataFrame:
             seq[0] += 1
             p = os.path.join(checkpoint_dir, f"cc_{seq[0]:03d}.parquet")
             df.write.mode("overwrite").parquet(p)
+            if seq[0] > 2:
+                if prev_merge[0] is not None:
+                    shutil.rmtree(prev_merge[0], ignore_errors=True)
+                prev_merge[0] = p
             return spark.read.parquet(p)
     else:
         def _cut(df: DataFrame) -> DataFrame:

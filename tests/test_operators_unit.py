@@ -170,7 +170,11 @@ def test_connected_components_checkpoint_dir_identical(spark, tmp_path):
                    checkpoint_dir=str(tmp_path / "cc")).collect()}
     assert durable == base
     import os
-    assert any(n.startswith("cc_") for n in os.listdir(tmp_path / "cc"))
+    kept = sorted(n for n in os.listdir(tmp_path / "cc") if n.startswith("cc_"))
+    # storage reclamation: init labels + edges + ONLY the newest merge
+    # survive (a 25-node chain needs several rounds, so reclamation fired)
+    assert len(kept) == 3, kept
+    assert kept[:2] == ["cc_001.parquet", "cc_002.parquet"]
 
 
 # ---------------------------------------------------------------------------
