@@ -283,13 +283,16 @@ def skew_evidence(spark, cpus: int, n_base: int | None = None,
     # Cached, the row times exactly what it claims: the candidate join
     # under an adversarial hot-bucket distribution (VERDICT r4 item 4).
     bpath = os.path.join(BENCH_DIR, f"skewbands_k128b32r4_{n_base}_{n_const}.parquet")
-    if not os.path.exists(bpath):
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        # _SUCCESS, not the bare dir: a killed prior write must regenerate,
+        # not silently benchmark a truncated band relation
         clips = spark.read.parquet(path).repartition(cpus * 2)
         chunks = chunking.chunk_clips(
             clips, "fastcdc-v1.0.0",
             ChunkerOpts(min_size=256, normal_size=1024, max_size=8192))
         sig = signatures.minhash_signatures(chunks, k=128)
-        signatures.lsh_bands(sig, 32, 4, src="pcm").write.parquet(bpath)
+        signatures.lsh_bands(sig, 32, 4, src="pcm").write.mode(
+            "overwrite").parquet(bpath)
     bands = spark.read.parquet(bpath).persist()
     bands.count()
 
@@ -1171,16 +1174,11 @@ def normalize_evidence(cpus: int, n_clips: int = 64,
         clips.append(sig)
     pcm_mb = n_clips * n_samp * 2 / 1e6
 
+    from go_cdc_chunkers_spark.operators.codecs import wav_wrap
+
     def wav_of(p):
-        payload = p.tobytes()
-        fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-               + (16000).to_bytes(4, "little")
-               + (32000).to_bytes(4, "little")
-               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
-        body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-        body += b"data" + len(payload).to_bytes(4, "little") + payload
-        return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
-                + body)
+        return wav_wrap(p.tobytes(), tag=1, channels=1, block_align=2,
+                        sample_rate=16000, bits=16)
 
     enc = {
         "pcm_s16le": [bytearray(p.tobytes()) for p in clips],

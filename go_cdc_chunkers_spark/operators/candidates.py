@@ -99,7 +99,13 @@ def candidate_pairs(
         )
         salt_right = grouped.select(
             *key,
-            F.explode(F.sequence(F.lit(0), F.col("_ng") - 1)).alias("_sg"),
+            # replicate b only to groups <= its own: the survivor filter
+            # requires _gb >= _sg, so copies sent above _gb would be
+            # shuffled and then dropped -- this halves the replicated
+            # shuffle volume (~m^2/(2*st) rows) with the identical pair
+            # set (each cross-group pair still meets exactly once, in the
+            # lower group)
+            F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_sg"),
             F.col("_g").alias("_gb"),
             F.col("clip_id").alias("b"),
         )

@@ -78,7 +78,8 @@ def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None,
     r: ResolvedOpts = resolve(algorithm, opts) if not isinstance(algorithm, ResolvedOpts) else algorithm
 
     def _rows(data, codecs=None):
-        if codecs is None:
+        normalize = codecs is not None
+        if not normalize:
             payloads = ((b, None) for b in data)
         else:
             payloads = zip(data, codecs)
@@ -88,7 +89,17 @@ def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None,
                 out.append([])
                 continue
             raw = bytes(b)
-            if codec is not None:
+            if normalize:
+                # decode-for-real-or-raise: a NULL codec under
+                # normalization would silently chunk the CONTAINER bytes
+                # and the clip would never dedup against its decoded
+                # twins -- same contract as the exact_first identity path
+                # (multimodal._decode_pcm_batch raises on unknown codecs)
+                if codec is None:
+                    raise ValueError(
+                        "normalize_pcm: codec column is NULL for a clip; "
+                        "stamp a codec ('pcm_s16le' for raw PCM) or chunk "
+                        "without codec_col")
                 from . import multimodal
 
                 raw = multimodal._decode_pcm_batch(raw, codec).tobytes()

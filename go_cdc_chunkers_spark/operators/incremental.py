@@ -365,8 +365,12 @@ def compact_store(
         # exact sketch rebuild from the compacted relation, written inside
         # the tmp dir so it swaps atomically with the data it describes
         # (the sidecar-preserve loop below copies files only -- a stale
-        # _sketch DIRECTORY would otherwise be lost with the old tree)
-        k = read_store_sketch_meta(path)["k"]
+        # _sketch DIRECTORY would otherwise be lost with the old tree).
+        # A _sketch dir whose meta.json is gone (partial copy, manual
+        # surgery) is unreadable anyway: rebuild at the default k rather
+        # than crashing mid-compaction on None["k"].
+        sk_meta = read_store_sketch_meta(path)
+        k = int(sk_meta["k"]) if sk_meta else DEFAULT_SKETCH_K
         _write_sketch_dirs(spark.table(tmp_table),
                            os.path.join(tmp, _SKETCH_DIR), k)
 
@@ -535,11 +539,21 @@ def estimate_vs_store(spark: SparkSession, batch_chunks: DataFrame,
     # reported too but is the wrong estimator when batch << store: it
     # subtracts two large estimates whose ~1.6% sigma swamps a small
     # batch. The containment route's error scales with the batch itself.
-    c = float(ov["containment_b_in_a"])
     m = int(ov["n_b"])  # containment sample size (batch points in the
     #                     union bottom-k); sigma ~ sqrt(c(1-c)/m)
-    sigma_c = (c * (1.0 - c) / m) ** 0.5 if m > 0 else 1.0
-    novel = round(n_batch * (1.0 - c), 2)
+    if m > 0:
+        c = float(ov["containment_b_in_a"])
+        sigma_c = (c * (1.0 - c) / m) ** 0.5
+        novel = round(n_batch * (1.0 - c), 2)
+    else:
+        # batch << store at this k: no batch hash entered the union
+        # bottom-k, so the containment ratio is NULL (0/0). Fall back to
+        # the HLL-difference estimator (clamped to the batch size) with
+        # an uninformative error bar instead of crashing on float(None).
+        c = None
+        sigma_c = 1.0
+        novel = round(min(float(n_batch), max(
+            0.0, union_est["estimate"] - store_est["estimate"])), 2)
     return {
         "sketch_k": int(k),
         "store_unique_est": store_est["estimate"],

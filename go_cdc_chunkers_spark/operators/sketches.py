@@ -184,8 +184,14 @@ def overlap_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
         F.sum(F.col("hb").isNotNull().cast("long")).alias("n_b"),
     ).select(
         "k_union", "n_both",
-        F.round(F.col("n_both") / F.col("k_union"), 6).alias("jaccard_est"),
-        F.round(F.col("n_both") / F.col("n_b"), 6).alias("containment_b_in_a"),
+        # try_divide: a zero sample size (empty side, or B so much
+        # smaller than A that no B hash enters the union bottom-k) is a
+        # legitimate "no information" outcome -- NULL, not an ANSI
+        # DIVIDE_BY_ZERO crash; callers surface it as an honest unknown
+        F.round(F.try_divide(F.col("n_both"), F.col("k_union")), 6)
+        .alias("jaccard_est"),
+        F.round(F.try_divide(F.col("n_both"), F.col("n_b")), 6)
+        .alias("containment_b_in_a"),
         # sample sizes: the containment estimate rides on n_b points, so
         # its sigma ~ sqrt(c(1-c)/n_b) -- callers (estimate_vs_store)
         # surface that as an honest error bar. For very asymmetric

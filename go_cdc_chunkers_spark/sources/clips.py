@@ -325,16 +325,13 @@ def generate_clips_df(
 
 
 def wav_wrap(pcm16: np.ndarray, sr: int) -> bytes:
-    """Minimal RIFF/WAVE (fmt 1, mono s16le) container around raw PCM."""
-    payload = pcm16.astype("<i2").tobytes()
-    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-           + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
-           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
-    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-    body += b"data" + len(payload).to_bytes(4, "little") + payload
-    if len(payload) % 2:
-        body += b"\x00"
-    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    """Minimal RIFF/WAVE (fmt 1, mono s16le) container around raw PCM.
+    Thin wrapper over the one general container writer (codecs.wav_wrap)
+    so every header builder stays in sync with _decode_wav."""
+    from ..operators.codecs import wav_wrap as _wav_wrap
+
+    return _wav_wrap(pcm16.astype("<i2").tobytes(), tag=1, channels=1,
+                     block_align=2, sample_rate=int(sr), bits=16)
 
 
 def generate_chord_clips(

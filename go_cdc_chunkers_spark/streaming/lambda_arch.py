@@ -142,36 +142,54 @@ def _band_store_step(spark: SparkSession, store_dir: str, batch_id: int,
         sig_of("sig_text"), cfg.bands, cfg.rows_per_band, src="text"
     )).withColumn("src_batch", F.lit(int(batch_id)).cast("long"))
 
-    already = False
     if not first and "src_batch" in spark.table(table).columns:
-        # crash-window probe: O(batch) -- store side is pruned to the
-        # batch's own buckets by the bucketed left_semi before the
-        # src_batch filter runs
+        # crash-window repair, per-ROW idempotent: a multi-file bucketed
+        # append is not all-or-nothing, so a crash mid-commit can leave
+        # SOME of this batch's bands in the table. Any one committed row
+        # must not mask the rest (that was the old limit(1) probe's hole:
+        # partial append -> batch marked done -> lost bands forever).
+        # Bands are deterministic from the materialized signatures, so
+        # the anti-join recovers exactly the missing rows; both sides are
+        # O(batch) -- the store side is pruned to the batch's own buckets
+        # by the bucketed left_semi before the src_batch filter runs.
         touched = bands.select("band_hash").distinct()
-        already = bool(
-            spark.table(table)
-            .join(touched, "band_hash", "left_semi")
-            .filter(F.col("src_batch") == int(batch_id))
-            .limit(1).count())
-    if not already:
+        stored = (spark.table(table)
+                  .join(touched, "band_hash", "left_semi")
+                  .filter(F.col("src_batch") == int(batch_id)))
+        missing = bands.join(
+            stored, ["band_id", "band_hash", "clip_id", "src"], "left_anti")
+        if not missing.isEmpty():
+            incremental.write_band_store(missing, table, path,
+                                         n_buckets=n_buckets, mode="append")
+    else:
         incremental.write_band_store(bands, table, path, n_buckets=n_buckets,
                                      mode="overwrite" if first else "append")
     _write_registry(set(done) | {int(batch_id)})
 
 
-def _verify_band_store_coverage(store_dir: str) -> None:
+def _verify_band_store_coverage(store_dir: str,
+                                through_batch: int | None = None) -> None:
     """Fail fast when the band store exists but MISSES landed batches
     (ADVICE r4): a stream that previously ran with band_store=False, or a
     rebuilt store directory, would otherwise be trusted silently and the
     touched-bucket scan would drop those batches' bands -- under-clustering
     with no error. Cheap directory listings: every batch=<id> landed under
-    sig_pcm / sig_text must be registered in _appended_batches.json."""
+    sig_pcm / sig_text must be registered in _appended_batches.json.
+
+    through_batch bounds the check to batches <= it: the incremental
+    batch layer only reads the band store for HISTORY (its delta bands
+    come fresh from the signature tables), so a sink that is mid-batch --
+    sig dirs landed, band append/registry not yet written -- must not
+    raise spuriously for that in-flight batch (it is always newer than
+    the previous clustering's since_batch)."""
     landed: set[int] = set()
     for sig in ("sig_pcm", "sig_text"):
         d = os.path.join(store_dir, sig)
         if os.path.isdir(d):
             landed |= {int(n.split("=", 1)[1]) for n in os.listdir(d)
                        if n.startswith("batch=")}
+    if through_batch is not None:
+        landed = {b for b in landed if b <= int(through_batch)}
     reg = os.path.join(band_store_path(store_dir), "_appended_batches.json")
     done: set[int] = set()
     if os.path.exists(reg):
@@ -430,21 +448,41 @@ def cluster_store_incremental(
         # the store-side scan of the touched-bucket semi-join below reads
         # the persisted band_hash bucketing with NO Exchange -- the former
         # re-band-the-whole-signature-store projection disappears. The
-        # store must cover every landed batch (the sink appends it per
-        # batch; a stream run without band_store=True leaves it absent,
-        # which raises here rather than silently under-clustering).
+        # store is read for HISTORY ONLY (src_batch <= since_batch) and
+        # the delta's bands come fresh from the signature tables
+        # (new_bands): a sink that is mid-batch -- sigs landed, band
+        # append in flight -- can therefore never under-cluster this run,
+        # and coverage only has to hold for batches the previous
+        # clustering already consumed (a stream run without
+        # band_store=True leaves gaps there, which raises rather than
+        # silently under-clustering).
         from ..operators import incremental
 
-        _verify_band_store_coverage(store_dir)
+        _verify_band_store_coverage(store_dir, through_batch=since_batch)
         table = band_store_table_name(store_dir)
         if not spark.catalog.tableExists(table):
             incremental.register_chunk_store(
                 spark, table, band_store_path(store_dir))
-        bands_all = spark.table(table)
+        store_bands = spark.table(table)
+        bands_hist = store_bands
+        delta_in_store = True
+        if "src_batch" in store_bands.columns:
+            # history only -- filters preserve the bucketed layout, so
+            # the semi-join below still runs with NO store-side Exchange;
+            # the delta's bands are unioned back AFTER the semi-join
+            # (they are all touched by construction)
+            bands_hist = store_bands.filter(
+                F.col("src_batch") <= int(since_batch)).drop("src_batch")
+            delta_in_store = False
+        else:
+            # legacy store without row stamps: fall back to the whole
+            # store (delta bands included) + full-landed coverage check
+            _verify_band_store_coverage(store_dir)
     else:
-        bands_all = bands_of(
+        bands_hist = bands_of(
             read_store(spark, store_dir, "sig_pcm"), "pcm"
         ).unionByName(bands_of(read_store(spark, store_dir, "sig_text"), "text"))
+        delta_in_store = True
     # Touched-bucket scope keyed on band_hash ALONE: it is the bucketed
     # band store's bucket column, so the store-side scan of this semi-join
     # is shuffle-free (a composite (band_id, band_hash) key would force a
@@ -456,7 +494,10 @@ def cluster_store_incremental(
     # end-to-end equality with a full re-run stays pinned by
     # test_lambda_incremental_cluster_matches_full.
     touched = new_bands.select("band_hash").distinct()
-    in_scope = bands_all.join(touched, "band_hash", "left_semi").persist()
+    in_scope = bands_hist.join(touched, "band_hash", "left_semi")
+    if not delta_in_store:
+        in_scope = in_scope.unionByName(new_bands)
+    in_scope = in_scope.persist()
     try:
         if metrics_out is not None:
             # star-cap audit (VERDICT r4 item 5): O(touched scope), one

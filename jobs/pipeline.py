@@ -78,11 +78,28 @@ def main() -> int:
         # column pruning; a real deployment's input is already a table,
         # so the generator should be one too. Idempotent like the stages.
         src = os.path.join(args.workdir, "clips_input")
-        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # cache key includes the generation params: a reused workdir with
+        # a different --synthetic N / --mixed-codecs must regenerate, not
+        # silently reuse the stale corpus
+        params = {"n_base": int(args.synthetic),
+                  "mixed_codecs": bool(args.mixed_codecs)}
+        params_path = os.path.join(src, "_gen_params.json")
+        cached = False
+        if os.path.exists(os.path.join(src, "_SUCCESS")):
+            try:
+                with open(params_path) as f:
+                    cached = json.load(f) == params
+            except (OSError, json.JSONDecodeError, ValueError):
+                cached = False
+        if not cached:
             gen, _ = clips_src.generate_clips_df(
                 spark, n_base=args.synthetic,
                 mixed_codecs=args.mixed_codecs)
             gen.write.mode("overwrite").parquet(src)
+            tmp = f"{params_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.replace(tmp, params_path)
         clips = spark.read.parquet(src)
     elif args.clips:
         clips = iceberg.read_table(spark, args.clips)

@@ -157,3 +157,30 @@ def test_cli_estimate_verb(spark, tmp_path):
     est2 = run("estimate", "--store", st, "--path", str(tmp_path / "b1"),
                "--format", "parquet")
     assert est2["containment_batch_in_store_est"] == 1.0
+
+
+def test_estimate_tiny_batch_outside_union_bottomk(spark, store, tmp_path):
+    """batch << store at small k: when NO batch hash lands in the union
+    bottom-k the containment ratio is NULL (0/0) -- the estimate must
+    fall back to the clamped HLL difference with an uninformative error
+    bar, not crash on float(None). Deterministic: xxhash64 is a fixed
+    function, so the top-hashing ids picked below always miss a k=16
+    bottom sketch of a 2000-unique store."""
+    small = str(tmp_path / "sk_small")
+    base = _chunks(spark, range(2000), "s")
+    incremental.write_chunk_store(base, "t_sk_small", small, n_buckets=8)
+    incremental.write_store_sketch(spark, base, small, k=16)
+    # pick the 3 candidate ids whose chunk_hash hashes HIGHEST -- far
+    # above the union's 16th-smallest, so n_b == 0 by construction
+    cand = _chunks(spark, range(2000, 2500), "b")
+    top = [r["i"] for r in cand
+           .withColumn("i", F.monotonically_increasing_id())
+           .select((F.xxhash64("chunk_hash")).alias("h"), "i")
+           .orderBy(F.desc("h")).limit(3).collect()]
+    batch = _chunks(spark, [2000 + int(i) for i in top], "b")
+    est = incremental.estimate_vs_store(spark, batch, small)
+    assert est["containment_sample_size"] == 0
+    assert est["containment_batch_in_store_est"] is None
+    assert 0.0 <= est["novel_unique_est"] <= est["batch_unique_exact"]
+    # uninformative sigma: the whole batch
+    assert est["novel_unique_sigma"] == float(est["batch_unique_exact"])

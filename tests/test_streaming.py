@@ -643,3 +643,93 @@ def test_band_store_crash_replay_and_registry_repair(spark, tmp_path):
         cfg=PipelineConfig(pair_cap=1), metrics_out=metrics).count()
     assert metrics["capped_touched_buckets"] > 0
     assert metrics["pair_cap"] == 1
+
+
+def test_band_store_partial_append_repaired_on_replay(spark, tmp_path):
+    """A multi-file bucketed append is not all-or-nothing: a crash mid-
+    commit can leave SOME of a batch's bands in the table with the batch
+    unregistered. Replay must restore exactly the missing rows (per-ROW
+    idempotent anti-join), not skip the batch because one row exists
+    (the old limit(1) probe) and not double the committed rows."""
+    import glob
+    import json
+    import os
+
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        band_store_path, band_store_table_name, make_signature_sink)
+
+    rows, _ = clips_src.generate_clips(
+        n_base=10, dup_frac=0.3, near_frac=0.0, n_const=0, seed=45)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    store = str(tmp_path / "store")
+    sink = make_signature_sink(store, band_store=True, band_buckets=4)
+    cut = len(rows) // 2
+    sink(df_of(rows[:cut]), 0)
+    sink(df_of(rows[cut:]), 1)
+    tbl = band_store_table_name(store)
+    expected = sorted(map(tuple, spark.table(tbl).collect()))
+
+    # simulate the torn commit: delete one of batch 1's committed parquet
+    # files (losing a slice of its bands) and roll the registry back
+    path = band_store_path(store)
+    before = spark.table(tbl).count()
+    parts = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    by_rows = [(spark.read.parquet(p)
+                .filter("src_batch = 1").count(), p) for p in parts]
+    victim = max(by_rows)  # a file actually holding batch-1 rows
+    assert victim[0] > 0
+    os.remove(victim[1])
+    spark.sql(f"REFRESH TABLE {tbl}")
+    assert spark.table(tbl).count() < before
+    reg = os.path.join(path, "_appended_batches.json")
+    with open(reg, "w") as f:
+        json.dump([0], f)
+
+    sink(df_of(rows[cut:]), 1)  # replay
+    spark.sql(f"REFRESH TABLE {tbl}")
+    assert sorted(map(tuple, spark.table(tbl).collect())) == expected
+    with open(reg) as f:
+        assert json.load(f) == [0, 1]
+
+
+def test_band_store_inflight_batch_does_not_trip_coverage(spark, tmp_path):
+    """The lambda race (ADVICE r5 review): the batch layer runs while the
+    sink is mid-batch -- signature dirs landed, band append/registry not
+    yet written. The band store is only read for history (src_batch <=
+    since_batch; delta bands come fresh from the signature tables), so
+    this must cluster the delta instead of raising 'does not cover'."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.streaming.lambda_arch import (
+        cluster_store_incremental, make_signature_sink)
+
+    rows, _ = clips_src.generate_clips(
+        n_base=8, dup_frac=0.5, near_frac=0.0, n_const=0, seed=46)
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            [(r["clip_id"], bytearray(r["bytes"]), r["sr_hz"], r["dur_ms"],
+              r["codec"], r["transcript"]) for r in rs], schema)
+
+    store = str(tmp_path / "store")
+    cut = len(rows) // 2
+    make_signature_sink(store, band_store=True, band_buckets=4)(
+        df_of(rows[:cut]), 0)
+    # batch 1 "in flight": sigs landed, band store NOT appended
+    make_signature_sink(store, band_store=False)(df_of(rows[cut:]), 1)
+
+    prev = (df_of(rows[:cut]).select("clip_id").distinct()
+            .withColumn("component_id", F.col("clip_id")))
+    out = cluster_store_incremental(spark, store, prev, since_batch=0,
+                                    use_band_store=True)
+    got = {r["clip_id"] for r in out.select("clip_id").collect()}
+    assert {r["clip_id"] for r in rows[cut:]} <= got
