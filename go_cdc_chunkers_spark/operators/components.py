@@ -41,7 +41,7 @@ round bound keeps the sequential-shuffle count ~30 even at 10^12 vertices.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -136,8 +136,18 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
+        # convergence signal piggybacks on the cut's own materialization
+        # job via observe() -- it fires under BOTH eager localCheckpoint
+        # and the parquet write, so no second per-round job (and, on the
+        # durable path, no per-round re-scan of the label table just to
+        # probe _changed). At 10^12 vertices that is one fewer full
+        # cluster barrier per round; at sandbox scale it halves the
+        # stage's scheduler-latency floor.
+        obs = Observation(f"cc_changed_{rounds}")
+        merged = merged.observe(
+            obs, F.sum(F.col("_changed").cast("long")).alias("n"))
         merged = _cut(merged)
-        changed = merged.filter(F.col("_changed")).limit(1).count()
+        changed = int(obs.get["n"] or 0)
         labels = merged.drop("_changed")
         if changed == 0:
             converged = True
