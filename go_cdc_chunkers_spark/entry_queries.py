@@ -3211,6 +3211,136 @@ FROM est e, ex x
 """
 
 
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score (text_quality.
+    bigram_lm_scores). Fully independent oracle: DuckDB re-tokenizes the
+    documents table, re-counts unigrams/bigrams/vocabulary, and replays
+    the add-one-smoothed mean log-probability with its own log10 -- the
+    only shared input is the parquet text itself. Counts are exact
+    integers on both engines; the per-doc mean is rounded to 6 decimals
+    (float noise ~1e-14, margin ~1e8x)."""
+    from .operators.text_quality import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DOC_BIGRAM_LM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM w
+),
+t AS (SELECT * FROM toks WHERE tok <> ''),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+b2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+uni AS (SELECT tok AS w1, count(*)::BIGINT AS cu FROM t GROUP BY 1),
+voc AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM b2 GROUP BY 1, 2),
+lp AS (
+  SELECT b.doc_id, log10((bc.cb + 1.0) / (uni.cu + voc.v)) AS lp
+  FROM b2 b JOIN bc USING (w1, w2) JOIN uni USING (w1), voc
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(lp), 6) AS avg_log10_prob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_MFCC_CLIPS = (("ma", 37, 11, 1024, 2048),
+               ("mb", 53, 7, 2048, 1792),
+               ("mc", 149, 23, 4096, 1536))
+
+
+def _mfcc_pcm(a: int, b: int, mod: int, n: int):
+    import numpy as np
+
+    i = np.arange(n)
+    return ((i * a + b) % mod - mod // 2).astype(np.int16)
+
+
+def audio_mfcc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC feature extraction (operators/mfcc.py), engine-vs-engine at
+    full depth: three clips whose every PCM sample is an integer closed
+    form over the sample index are containerized as real RIFF/WAVE bytes
+    driver-side; Spark decodes the bytes and runs the numpy rfft -> mel
+    filterbank -> log -> DCT-II chain inside ONE mapInPandas pass. The
+    DuckDB oracle never sees bytes or FFTs: it regenerates the samples
+    with generate_series and replays the whole chain relationally -- a
+    per-bin naive-DFT SUM, the HTK mel triangle weights as closed-form
+    CASE arithmetic, log10(E+1), and a cos() DCT SUM. Outputs round to 3
+    decimals on both sides; the pre-round boundary margin is pinned
+    >= 1e-6 by tests/test_mfcc.py (vs ~1e-10 cross-engine float noise),
+    so the value hash is deterministic, not probabilistic."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import mfcc as mfcc_ops
+    from .sources.clips import wav_wrap
+
+    rows = [
+        (cid, bytearray(wav_wrap(_mfcc_pcm(a, b, mod, n), 8000)), 8000, "wav")
+        for cid, a, b, mod, n in _MFCC_CLIPS
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string")
+    return mfcc_ops.mfcc_features(df).orderBy("clip_id", "frame", "coef")
+
+
+def _mfcc_sql() -> str:
+    samples = "\nUNION ALL\n".join(
+        f"SELECT '{cid}' AS clip_id, g.g AS i, "
+        f"CAST((g.g*{a} + {b}) % {mod} - {mod // 2} AS DOUBLE) AS s "
+        f"FROM generate_series(0, {n - 1}) g(g)"
+        for cid, a, b, mod, n in _MFCC_CLIPS
+    )
+    # HTK mel edges: edge(e) = 700*(10^((e*top/11)/2595)-1),
+    # top = 2595*log10(1 + 4000/700); bin freq = k*8000/64 = k*125.
+    edge = ("700.0*(pow(10.0, (({E})*2595.0*log10(1.0 + 4000.0/700.0)/11.0)"
+            "/2595.0) - 1.0)")
+    lo, mid, hi = (edge.format(E="mm.m"), edge.format(E="mm.m + 1"),
+                   edge.format(E="mm.m + 2"))
+    return f"""
+WITH pcm AS ({samples}),
+windowed AS (
+  SELECT clip_id, i // 64 AS frame, i % 64 AS n,
+         s * (0.5 - 0.5*cos(2*pi()*(i % 64)/64.0)) AS xw
+  FROM pcm
+),
+dft AS (
+  SELECT w.clip_id, w.frame, kk.k,
+         sum(w.xw * cos(2*pi()*kk.k*w.n/64.0)) AS re,
+         sum(w.xw * sin(2*pi()*kk.k*w.n/64.0)) AS im
+  FROM windowed w, generate_series(0, 32) kk(k)
+  GROUP BY w.clip_id, w.frame, kk.k
+),
+mel AS (
+  SELECT d.clip_id, d.frame, mm.m,
+         sum(greatest(least((d.k*125.0 - {lo}) / ({mid} - {lo}),
+                            ({hi} - d.k*125.0) / ({hi} - {mid})), 0.0)
+             * (d.re*d.re + d.im*d.im)) AS e
+  FROM dft d, generate_series(0, 9) mm(m)
+  GROUP BY d.clip_id, d.frame, mm.m
+),
+cep AS (
+  SELECT l.clip_id, l.frame, jj.j,
+         sum(log10(l.e + 1.0) * cos(pi()*jj.j*(2*l.m + 1)/20.0)) AS c
+  FROM mel l, generate_series(0, 5) jj(j)
+  GROUP BY l.clip_id, l.frame, jj.j
+)
+SELECT clip_id, CAST(frame AS INT) AS frame, CAST(j AS INT) AS coef,
+       round(c, 3) AS mfcc
+FROM cep ORDER BY clip_id, frame, coef
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -3241,6 +3371,7 @@ QUERIES = {
     "cdc_codec_invariant_chunks": cdc_codec_invariant_chunks,
     "audio_alaw_decode": audio_alaw_decode,
     "audio_adpcm_decode": audio_adpcm_decode,
+    "audio_mfcc_features": audio_mfcc_features,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "chunk_distinct_hll": chunk_distinct_hll,
     "corpus_overlap_bottomk": corpus_overlap_bottomk,
@@ -3256,6 +3387,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "doc_quality_score": doc_quality_score,
+    "doc_bigram_lm_score": doc_bigram_lm_score,
     "doc_langid": doc_langid,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "events_sessionization": events_sessionization,
@@ -3307,6 +3439,7 @@ ORACLES = {
     "cdc_codec_invariant_chunks": CDC_CODEC_INVARIANT_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
     "audio_adpcm_decode": _adpcm_sql(),
+    "audio_mfcc_features": _mfcc_sql(),
     "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
     "chunk_distinct_hll": CHUNK_HLL_SQL,
     "corpus_overlap_bottomk": CORPUS_OVERLAP_SQL,
@@ -3321,6 +3454,7 @@ ORACLES = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "doc_quality_score": DOC_QUALITY_SQL,
+    "doc_bigram_lm_score": DOC_BIGRAM_LM_SQL,
     "doc_langid": _langid_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,

@@ -87,6 +87,55 @@ def langid_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return out
 
 
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained bigram language-model score per document -- the
+    CCNet-style "perplexity against an in-domain LM" quality signal, with
+    the corpus itself as the training set (no external model):
+
+        P(w2 | w1) = (C(w1,w2) + 1) / (C(w1) + V)     (add-one smoothing)
+        score(doc) = mean over the doc's bigrams of log10 P
+
+    V is the distinct-token vocabulary; C counts come from the whole
+    input. Tokens are ' +'-split after trim (the module's tokenizer),
+    empty tokens dropped; docs with < 2 tokens emit no row. Boilerplate
+    and fluent text score high (their bigrams are corpus-frequent);
+    gibberish and rare-word soup score low -- the standard cheap filter
+    signal for pretraining corpora.
+
+    Scale shape: two word-count aggregations (map-side combinable, token
+    keyed), one per-doc window (partitions bounded by doc length), two
+    token-keyed joins; the count relations are vocabulary-sized, so AQE
+    broadcasts them when small. All JVM expressions, no UDF."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r" +")).alias(
+            "pos", "tok"),
+    ).filter(F.col("tok") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    uni = toks.groupBy(F.col("tok").alias("w1")).agg(
+        F.count("*").cast("long").alias("cu"))
+    vocab = toks.select(F.countDistinct("tok").cast("long").alias("v"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    lp = (
+        big.join(bc, ["w1", "w2"]).join(uni, "w1").crossJoin(vocab)
+        .select("doc_id",
+                F.log10((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
+                .alias("lp"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_log10_prob"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum xxhash64 over each
