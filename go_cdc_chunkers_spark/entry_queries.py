@@ -3211,6 +3211,96 @@ FROM est e, ex x
 """
 
 
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via dHash (operators/imagehash.py),
+    engine-vs-engine: four 40x40 images with closed-form pixels -- base,
+    the SAME pixels re-containerized (PNG vs PPM: cross-format dedup),
+    a one-sampled-pixel perturbation (Hamming 1), and an unrelated image
+    (Hamming ~36) -- are encoded driver-side; Spark decodes the real
+    bytes (PNG scanline filters included) and runs decode -> 9x8
+    floor-index sampling -> integer luma -> 64-bit dHash -> 4x16-bit
+    banded equi-join -> bit_count(xor) verify. The DuckDB oracle
+    regenerates the sampled cells from the closed forms and recomputes
+    hashes AND brute-force pairwise Hamming in SQL -- method-independent,
+    so it certifies both the hash chain and the banded join's
+    pigeonhole recall at Hamming <= 3. Exact integers end to end."""
+    import numpy as np
+
+    from .operators.imagehash import dhash_images, dhash_near_pairs
+    from .operators.multimodal import _encode_ppm
+    from .operators.png import png_encode
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    base = np.stack(
+        [(yy * 31 + xx * 17 + c * 53 + 11) % 256 for c in range(3)],
+        axis=2).astype(np.uint8)
+    pert = base.copy()
+    pert[10, 8, :] = (pert[10, 8, :].astype(int) + 128) % 256
+    other = np.stack(
+        [(yy * 7 + xx * 43 + c * 29 + 199) % 256 for c in range(3)],
+        axis=2).astype(np.uint8)
+    imgs = [("ia", png_encode(base, 2)), ("ib", _encode_ppm(base)),
+            ("ic", png_encode(pert, 2)), ("id", png_encode(other, 2))]
+    df = spark.createDataFrame([(i, bytearray(b)) for i, b in imgs],
+                               "img_id string, data binary")
+    pairs = dhash_near_pairs(dhash_images(df, id_col="img_id"),
+                             max_hamming=3)
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("a", "b")
+
+
+IMAGE_DHASH_SQL = """
+WITH imgs AS (SELECT unnest(['ia','ib','ic','id']) AS img_id),
+grid AS (
+  SELECT r.r AS row, c.c AS col,
+         (r.r*40)//8 AS sy, (c.c*40)//9 AS sx
+  FROM generate_series(0,7) r(r), generate_series(0,8) c(c)
+),
+cells AS (
+  SELECT i.img_id, g.row, g.col,
+    CASE WHEN i.img_id = 'id' THEN (g.sy*7 + g.sx*43 + 0*29 + 199) % 256
+         WHEN i.img_id = 'ic' AND g.sy = 10 AND g.sx = 8
+           THEN ((g.sy*31 + g.sx*17 + 0*53 + 11) + 128) % 256
+         ELSE (g.sy*31 + g.sx*17 + 0*53 + 11) % 256 END AS cr,
+    CASE WHEN i.img_id = 'id' THEN (g.sy*7 + g.sx*43 + 1*29 + 199) % 256
+         WHEN i.img_id = 'ic' AND g.sy = 10 AND g.sx = 8
+           THEN ((g.sy*31 + g.sx*17 + 1*53 + 11) + 128) % 256
+         ELSE (g.sy*31 + g.sx*17 + 1*53 + 11) % 256 END AS cg,
+    CASE WHEN i.img_id = 'id' THEN (g.sy*7 + g.sx*43 + 2*29 + 199) % 256
+         WHEN i.img_id = 'ic' AND g.sy = 10 AND g.sx = 8
+           THEN ((g.sy*31 + g.sx*17 + 2*53 + 11) + 128) % 256
+         ELSE (g.sy*31 + g.sx*17 + 2*53 + 11) % 256 END AS cb
+  FROM imgs i, grid g
+),
+luma AS (
+  SELECT img_id, row, col, (299*cr + 587*cg + 114*cb)//1000 AS l
+  FROM cells
+),
+bits AS (
+  SELECT a.img_id, a.row, a.col AS x,
+         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+  FROM luma a
+  JOIN luma b ON b.img_id = a.img_id AND b.row = a.row
+             AND b.col = a.col + 1
+  WHERE a.col < 8
+),
+hashes AS (
+  SELECT img_id,
+         sum(CASE WHEN bit = 1 THEN
+               CASE WHEN row*8 + x = 63 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << (row*8 + x)) END
+             ELSE 0 END)::BIGINT AS dhash
+  FROM bits GROUP BY img_id
+)
+SELECT h1.img_id AS a, h2.img_id AS b,
+       bit_count(xor(h1.dhash, h2.dhash))::INT AS hamming
+FROM hashes h1 JOIN hashes h2 ON h1.img_id < h2.img_id
+WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3
+ORDER BY a, b
+"""
+
+
 def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality score (text_quality.
     bigram_lm_scores). Fully independent oracle: DuckDB re-tokenizes the
@@ -3251,6 +3341,48 @@ lp AS (
 SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(lp), 6) AS avg_log10_prob
 FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filter (text_quality.
+    repetition_stats, trigrams). Fully independent oracle: DuckDB
+    re-tokenizes, rebuilds trigrams with its own lead() windows, and
+    re-counts. Integer counts; the one ratio divides identical integers
+    on both engines."""
+    from .operators.text_quality import repetition_stats
+
+    return repetition_stats(
+        _table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM w
+),
+t AS (SELECT * FROM toks WHERE tok <> ''),
+tri AS (
+  SELECT doc_id,
+         tok || chr(31) || lead(tok, 1) OVER win
+             || chr(31) || lead(tok, 2) OVER win AS gram,
+         lead(tok, 2) OVER win IS NOT NULL AS full_gram
+  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+counts AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS c
+  FROM tri WHERE full_gram GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(c)::BIGINT AS n_ngrams,
+       count(*)::BIGINT AS n_distinct,
+       round((sum(c) - count(*)) / sum(c), 6) AS dup_frac,
+       max(c)::BIGINT AS top_ngram_count
+FROM counts GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -3367,6 +3499,7 @@ QUERIES = {
     "image_jpeg_decode": image_jpeg_decode,
     "image_gif_decode": image_gif_decode,
     "image_tiff_decode": image_tiff_decode,
+    "image_dhash_neardup": image_dhash_neardup,
     "audio_flac_decode": audio_flac_decode,
     "cdc_codec_invariant_chunks": cdc_codec_invariant_chunks,
     "audio_alaw_decode": audio_alaw_decode,
@@ -3388,6 +3521,7 @@ QUERIES = {
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "doc_quality_score": doc_quality_score,
     "doc_bigram_lm_score": doc_bigram_lm_score,
+    "doc_repetition_stats": doc_repetition_stats,
     "doc_langid": doc_langid,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "events_sessionization": events_sessionization,
@@ -3435,6 +3569,7 @@ ORACLES = {
     "image_jpeg_decode": IMAGE_JPEG_SQL,
     "image_gif_decode": IMAGE_GIF_SQL,
     "image_tiff_decode": IMAGE_TIFF_SQL,
+    "image_dhash_neardup": IMAGE_DHASH_SQL,
     "audio_flac_decode": AUDIO_FLAC_SQL,
     "cdc_codec_invariant_chunks": CDC_CODEC_INVARIANT_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
@@ -3455,6 +3590,7 @@ ORACLES = {
     "doc_tfidf_topterms": DOC_TFIDF_SQL,
     "doc_quality_score": DOC_QUALITY_SQL,
     "doc_bigram_lm_score": DOC_BIGRAM_LM_SQL,
+    "doc_repetition_stats": DOC_REPETITION_SQL,
     "doc_langid": _langid_sql(),
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,

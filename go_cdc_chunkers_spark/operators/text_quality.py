@@ -136,6 +136,42 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Within-document repetition (the Gopher-rules quality filter):
+    fraction of token n-grams that are repeats of an earlier occurrence
+    in the same doc, plus the hottest n-gram's count. Templated spam and
+    keyword-stuffed pages score high; natural prose scores near 0.
+
+    dup_frac = (T - D) / T with T total and D distinct n-grams; docs
+    with < n tokens emit no row. Exact integer counts + one rounded
+    ratio; one explode + n-1 per-doc lead() windows + two aggregations,
+    all map-side combinable after the (doc_id, ngram) groupBy."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r" +")).alias(
+            "pos", "tok"),
+    ).filter(F.col("tok") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in
+                              range(1, n)]
+    grams = toks.select(
+        "doc_id", F.concat_ws("\x1f", *parts).alias("gram"),
+        parts[-1].isNotNull().alias("_full"),
+    ).filter("_full")
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("long").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round((F.sum("c") - F.count("*")) / F.sum("c"), 6)
+        .alias("dup_frac"),
+        F.max("c").cast("long").alias("top_ngram_count"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum xxhash64 over each

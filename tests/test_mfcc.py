@@ -148,24 +148,6 @@ def test_mean_mfcc_is_an_embedding_channel(spark):
     assert by_q[0]["cosine"] > 0.999999
 
 
-def test_bigram_lm_scores_rank_fluent_over_gibberish(spark):
-    """Semantic pin for the corpus-trained bigram LM: documents made of
-    corpus-frequent bigrams outscore rare-bigram gibberish, and the
-    relation drops sub-2-token docs."""
-    from go_cdc_chunkers_spark.operators.text_quality import bigram_lm_scores
-
-    common = "the cat sat on the mat"
-    docs = spark.createDataFrame(
-        [(i, common) for i in range(8)]
-        + [(8, "zq xv qqj zzk wvx plf"), (9, "one")],
-        "doc_id long, text string",
-    )
-    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
-    assert 9 not in out                        # < 2 tokens -> no row
-    assert out[0]["n_bigrams"] == 5
-    assert out[0]["avg_log10_prob"] > out[8]["avg_log10_prob"] + 0.3
-
-
 def test_mfcc_gain_shifts_only_via_log():
     """2x gain multiplies every mel energy by 4; with log10(E+1) ~ log10 E
     for large E the cepstrum shifts by log10(4) * DCT(1-vector) -- i.e.
