@@ -3301,6 +3301,82 @@ ORDER BY a, b
 """
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): k-means-cluster then
+    intra-cluster cosine dedup, greedy by id. Centroids (the only
+    iterative step) are materialized; the oracle replays assignment,
+    the within-cluster pair scan, the threshold, the min-survivor rule
+    and the keep flags relationally -- the same stance as the IVF/PQ
+    oracles. Cosine is integer-scaled on both engines."""
+    from .operators import similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1, seed=23)
+    cmat = _materialize(spark, cents, "semdedup_centroids")
+    return similarity.semantic_dedup(emb, cmat, threshold=0.35).orderBy(
+        "vec_id")
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH c AS (SELECT * FROM {_mat('semdedup_centroids')}),
+{_ANN_DIMS_SQL},
+cdims AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS val
+  FROM c
+),
+cnorms AS (
+  SELECT centroid_id,
+         CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT) AS nrm
+  FROM cdims GROUP BY centroid_id
+),
+ecdots AS (
+  SELECT e.vec_id, cd.centroid_id,
+         CAST(sum(CAST(round(e.val * cd.val * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+  FROM dims e JOIN cdims cd ON cd.pos = e.pos
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT d.vec_id, d.centroid_id,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY round(d.dot_s / sqrt(CAST(en.nrm AS DOUBLE)
+                                           * CAST(cn.nrm AS DOUBLE)), 6)
+                      DESC, d.centroid_id) AS rn
+    FROM ecdots d
+    JOIN norms en ON en.vec_id = d.vec_id
+    JOIN cnorms cn ON cn.centroid_id = d.centroid_id) WHERE rn = 1
+),
+pair_dots AS (
+  SELECT la.vec_id AS lo, lb.vec_id AS hi, la.centroid_id,
+         CAST(sum(CAST(round(da.val * db.val * 1e12) AS BIGINT)) AS BIGINT)
+           AS dot_s
+  FROM assign la
+  JOIN assign lb ON lb.centroid_id = la.centroid_id
+               AND la.vec_id < lb.vec_id
+  JOIN dims da ON da.vec_id = la.vec_id
+  JOIN dims db ON db.vec_id = lb.vec_id AND db.pos = da.pos
+  GROUP BY 1, 2, 3
+),
+dups AS (
+  SELECT hi AS vec_id, min(lo)::BIGINT AS dup_of
+  FROM pair_dots p
+  JOIN norms na ON na.vec_id = p.lo
+  JOIN norms nb ON nb.vec_id = p.hi
+  WHERE round(p.dot_s / sqrt(CAST(na.nrm AS DOUBLE)
+                             * CAST(nb.nrm AS DOUBLE)), 6) >= 0.35
+  GROUP BY hi
+)
+SELECT a.vec_id::BIGINT AS vec_id, a.centroid_id::INT AS centroid_id,
+       d.dup_of IS NULL AS keep,
+       coalesce(d.dup_of, -1)::BIGINT AS dup_of
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY vec_id
+"""
+
+
 def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality score (text_quality.
     bigram_lm_scores). Fully independent oracle: DuckDB re-tokenizes the
@@ -3528,6 +3604,7 @@ QUERIES = {
     "nation_setops": supplier_customer_nation_setops,
     "transcript_containment": transcript_containment,
     "emb_cosine_dup_pairs": emb_cosine_dup_pairs,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "tpch_q14_promo": tpch_q14_promo,
@@ -3597,4 +3674,5 @@ ORACLES = {
     "nation_setops": SETOPS_SQL,
     "transcript_containment": TRANSCRIPT_CONTAINMENT_SQL,
     "emb_cosine_dup_pairs": EMB_COSINE_DUP_SQL,
+    "emb_semantic_dedup": _semdedup_sql(),
 }

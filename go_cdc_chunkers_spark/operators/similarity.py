@@ -567,3 +567,53 @@ def pq_topk(
                 F.col("neighbor_id").cast("long").alias("neighbor_id"),
                 "approx_dot", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering then intra-cluster cosine. A vector is a
+    semantic duplicate iff some LOWER-id vector in its k-means cluster
+    has cosine >= threshold; the survivor recorded in dup_of is the
+    smallest such id (the paper's keep-one-per-group rule made
+    deterministic and relational: greedy by id, no iterative graph
+    pass). Returns (vec_id, centroid_id, keep, dup_of -1-if-kept).
+
+    Scale shape: centroid assignment broadcasts the (small) centroid
+    relation; the pairwise stage self-joins WITHIN clusters only --
+    shuffle keyed on centroid_id, never all-pairs. Cluster sizes are
+    corpus/k in expectation; a pathologically hot cluster is the same
+    skew problem as a hot LSH bucket (cap/salt with
+    operators/candidates.py if a corpus needs it). Cosine is the
+    module's integer-scaled expression, bit-deterministic across
+    engines."""
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
+    v = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("_v")).join(assign, "vec_id")
+    lo = v.select(F.col("vec_id").alias("_lo"), F.col("_v").alias("_vlo"),
+                  "centroid_id")
+    hi = v.select(F.col("vec_id").alias("_hi"), F.col("_v").alias("_vhi"),
+                  "centroid_id")
+    dups = (
+        lo.join(hi, "centroid_id")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .withColumn("_sim", cosine_expr(F.col("_vlo"), F.col("_vhi")))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(F.col("_hi").alias("vec_id"))
+        .agg(F.min("_lo").alias("dup_of"))
+    )
+    return (
+        v.join(dups, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of").cast("long"), F.lit(-1).cast("long"))
+            .alias("dup_of"),
+        )
+    )
