@@ -100,6 +100,19 @@ def main() -> None:
          "-- NO store-wide aggregate in the probe plan; the store-side "
          "FileScan stays bucketed/shuffle-free.",
          None),  # filled below
+        ("semantic dedup pair scan (SemDeDup, cluster-scoped)",
+         "similarity.semantic_dedup: centroid assignment broadcasts the "
+         "tiny centroid relation; the pair enumeration is ONE equi-join "
+         "keyed on centroid_id with the _lo < _hi ordering and the cosine "
+         "threshold riding the join condition -- linear in cluster size, "
+         "no CartesianProduct anywhere.",
+         None),  # filled below
+        ("image dHash banded near-dup join",
+         "imagehash.dhash_near_pairs: 4x16-bit band explode (Project + "
+         "Generate), one self-equi-join on (band_idx, band_value), "
+         "bit_count(xor) verify in the same stage, groupBy(a,b) dedup -- "
+         "the pigeonhole-exact Hamming<=3 shape, no all-pairs scan.",
+         None),  # filled below
         ("oracle query: tpch_q1_pricing",
          "Filter + project pushed to parquet scan (PushedFilters/ReadSchema); "
          "one Exchange for the groupBy.",
@@ -170,7 +183,24 @@ def main() -> None:
     plan_of(band_probe)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
-    filled = iter([fp_pairs, probe, fp_scoped, sim_pairs, band_probe])
+    # semantic dedup + dHash banded join (small in-line inputs; the plan
+    # shape is input-size independent)
+    from go_cdc_chunkers_spark.operators import imagehash, similarity
+
+    sd_emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    sd_cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>")
+    sem_dedup = similarity.semantic_dedup(sd_emb, sd_cents)
+    dh = spark.createDataFrame(
+        [(f"i{i}", (i * 2654435761) % (2**63)) for i in range(16)],
+        "item_id string, dhash long")
+    dhash_pairs = imagehash.dhash_near_pairs(dh, max_hamming=3)
+
+    filled = iter([fp_pairs, probe, fp_scoped, sim_pairs, band_probe,
+                   sem_dedup, dhash_pairs])
     sections = [
         (t, n, next(filled) if d is None else d) for t, n, d in sections
     ]
