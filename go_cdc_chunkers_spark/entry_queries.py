@@ -731,6 +731,59 @@ WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 """
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup_text.py:decontaminate --
+    the GPT-3 appendix-C train/test n-gram leak filter). The documents
+    table is split deterministically: doc_id % 17 == 0 plays the held-out
+    benchmark, the rest is the training corpus; any train doc sharing an
+    exact word 4-gram with a benchmark doc is flagged with its distinct
+    hit-gram count, reachable-benchmark-doc count and hit fraction. n=4
+    here so the sf0.01 corpus's planted near-dups actually leak (the
+    production default is the published n=13); oracle flavor joins on raw
+    gram text -- the xxhash64 broadcast flavor is pinned equivalent in
+    tests/test_decontaminate.py."""
+    from .operators.dedup_text import decontaminate
+
+    docs = _table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(tr, ev, n=4, hash_flavor="raw").orderBy("doc_id")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM words
+),
+sh AS (
+  SELECT DISTINCT t0.doc_id,
+         t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN toks t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 4
+),
+ev AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tr GROUP BY 1),
+hits AS (
+  SELECT tr.doc_id,
+         count(DISTINCT tr.g)::BIGINT AS n_hit_ngrams,
+         count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY 1
+)
+SELECT h.doc_id::BIGINT AS doc_id, h.n_hit_ngrams, h.n_eval_docs, s.n_grams,
+       round(h.n_hit_ngrams / s.n_grams, 6) AS hit_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+ORDER BY doc_id
+"""
+
+
 def lsh_salted_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact skew-salted candidate enumeration (operators/candidates.py
     skew_mode="salted" -- the north rule's "salted-join skew-mitigated LSH
@@ -3591,6 +3644,7 @@ QUERIES = {
     "top_orders_per_customer": top_orders_per_customer,
     "region_revenue_rollup": region_revenue_rollup,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_decontaminate": doc_decontaminate,
     "doc_minhash_lsh": doc_minhash_lsh,
     "lsh_salted_candidates": lsh_salted_candidates,
     "doc_token_stats": doc_token_stats,
@@ -3661,6 +3715,7 @@ ORACLES = {
     "top_orders_per_customer": TOP_ORDERS_SQL,
     "region_revenue_rollup": REGION_REVENUE_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_minhash_lsh": _md5_minhash_sql(),
     "lsh_salted_candidates": LSH_SALTED_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

@@ -392,3 +392,73 @@ def simhash_pairs_guaranteed_from_sigs(sigs: DataFrame, max_hamming: int = 12,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  hash_flavor: str = "xxhash64",
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 1 exact
+    word n-gram with any eval/benchmark doc (the GPT-3 appendix-C /
+    PaLM-style train-test leak filter; n=13 is the published default).
+
+    Returns one row per CONTAMINATED train doc:
+      (doc_id, n_hit_ngrams, n_eval_docs, n_grams, hit_frac)
+    where n_hit_ngrams counts the doc's distinct n-grams that appear in
+    the eval set, n_eval_docs the distinct eval docs reachable through
+    them, n_grams the doc's total distinct n-grams, and
+    hit_frac = n_hit_ngrams / n_grams (round 6). Docs shorter than n
+    tokens contribute their whole text as one gram (doc_shingles
+    semantics), so short exact copies are still caught.
+
+    Scale shape: the eval side is a benchmark suite -- thousands of docs,
+    millions of n-grams -- while train is the 100 TB corpus, so the join
+    MUST stream the train side. With broadcast_eval=True (default) the
+    distinct eval grams are broadcast and the train side never shuffles:
+    one map-side hash-join pass over the corpus plus one partial-agg
+    groupBy on doc_id (map-side combinable; per-doc counts only). With
+    hash_flavor="xxhash64" the broadcast carries 8-byte gram hashes
+    instead of raw strings (~10x smaller for n=13 grams); exact-match
+    semantics are preserved up to 64-bit hash collisions (~1e-10 for a
+    1e4-gram benchmark). hash_flavor="raw" joins on the gram text itself
+    -- collision-free, DuckDB-replayable: the oracle flavor.
+    """
+    if hash_flavor not in ("xxhash64", "raw"):
+        raise ValueError(f"hash_flavor must be xxhash64|raw, got {hash_flavor}")
+    tr = doc_shingles(train, n, id_col=id_col, text_col=text_col)
+    ev = doc_shingles(eval_docs, n, id_col=id_col, text_col=text_col)
+    if hash_flavor == "xxhash64":
+        key = lambda df: df.withColumn("_k", F.xxhash64("shingle")).drop("shingle")
+        tr, ev = key(tr), key(ev)
+        join_key = "_k"
+    else:
+        join_key = "shingle"
+    ev_grams = ev.select(
+        F.col(join_key),
+        F.col("doc_id").alias("_eval_id"),
+    ).distinct()
+    if broadcast_eval:
+        ev_grams = F.broadcast(ev_grams)
+    # ONE corpus pass: left-outer broadcast join (a hit gram duplicates per
+    # eval doc carrying it; misses keep _eval_id null), then a single
+    # groupBy(doc_id) with distinct aggregates -- no second tokenization
+    # scan and no doc_id-keyed join for the sizes.
+    return (
+        tr.join(ev_grams, join_key, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_eval_id").isNotNull(), F.col(join_key))
+            ).cast("long").alias("n_hit_ngrams"),
+            F.countDistinct("_eval_id").cast("long").alias("n_eval_docs"),
+            F.countDistinct(join_key).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_hit_ngrams") > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_hit_ngrams",
+            "n_eval_docs",
+            "n_grams",
+            F.round(F.col("n_hit_ngrams") / F.col("n_grams"), 6).alias("hit_frac"),
+        )
+    )
