@@ -784,6 +784,66 @@ ORDER BY doc_id
 """
 
 
+def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + length-stratified subsample
+    (operators/splits.py). Every doc is hash-assigned a split from
+    weights {train:.8, val:.1, test:.1} (row-level: stable under appends
+    and repartitions, unlike randomSplit), then sampled with a per-length-
+    band rate (short docs kept at 1.0, medium 0.5, long 0.25 -- the
+    "rebalance the corpus" move). md5 flavor so DuckDB replays the exact
+    hex-threshold comparisons; the xxhash64 production flavor is pinned
+    equivalent in distribution by tests/test_splits.py."""
+    from .operators.splits import hash_split, stratified_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r" +"))
+    banded = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, hash_flavor="md5"
+    ).withColumn(
+        "band",
+        F.when(n_tok < 40, "short").when(n_tok < 70, "medium").otherwise("long"),
+    )
+    kept = stratified_sample(
+        banded, {"short": 1.0, "medium": 0.5, "long": 0.25}, "band",
+        hash_flavor="md5",
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split", "band"
+    ).orderBy("doc_id")
+
+
+# thresholds are EXACTLY operators/splits.py:_hex_threshold(f) --
+# int(f * 2**64) under float arithmetic -- so the engines compare
+# identical literals: 0.8 -> ccccccccccccd000, 0.9 -> e666666666666800,
+# 0.5 -> 8000000000000000, 0.25 -> 4000000000000000.
+DOC_SPLIT_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         substr(md5('split|' || doc_id), 1, 16) AS h_split,
+         substr(md5('sample|' || doc_id), 1, 16) AS h_samp,
+         len(regexp_split_to_array(trim(text), ' +')) AS n_tok
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN h_split < 'ccccccccccccd000' THEN 'train'
+              WHEN h_split < 'e666666666666800' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN n_tok < 40 THEN 'short'
+              WHEN n_tok < 70 THEN 'medium'
+              ELSE 'long' END AS band,
+         h_samp
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id, split, band
+FROM labeled
+WHERE band = 'short'
+   OR (band = 'medium' AND h_samp < '8000000000000000')
+   OR (band = 'long' AND h_samp < '4000000000000000')
+ORDER BY doc_id
+"""
+
+
 def lsh_salted_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact skew-salted candidate enumeration (operators/candidates.py
     skew_mode="salted" -- the north rule's "salted-join skew-mitigated LSH
@@ -3645,6 +3705,7 @@ QUERIES = {
     "region_revenue_rollup": region_revenue_rollup,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_decontaminate": doc_decontaminate,
+    "doc_split_sample": doc_split_sample,
     "doc_minhash_lsh": doc_minhash_lsh,
     "lsh_salted_candidates": lsh_salted_candidates,
     "doc_token_stats": doc_token_stats,
@@ -3716,6 +3777,7 @@ ORACLES = {
     "region_revenue_rollup": REGION_REVENUE_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_split_sample": DOC_SPLIT_SAMPLE_SQL,
     "doc_minhash_lsh": _md5_minhash_sql(),
     "lsh_salted_candidates": LSH_SALTED_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
