@@ -3662,6 +3662,119 @@ FROM cep ORDER BY clip_id, frame, coef
 """
 
 
+def _video_frames(n: int, seed: int, shift: int = 0,
+                  w: int = 48, h: int = 32):
+    """Deterministic JPEG-friendly frames with a moving bright block (a
+    translated smooth gradient keeps every horizontal-neighbor comparison,
+    so dHash would NOT change frame to frame; the block makes it)."""
+    import numpy as np
+
+    out = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 160 // (w - 1) + seed * 31) % 256
+        g = (yy * 160 // (h - 1) + seed * 53) % 256
+        b = np.full((h, w), (seed * 17) % 256)
+        img = np.stack([r, g, b], axis=2).astype(np.uint8)
+        t = i + shift
+        x0 = (t * (3 + seed % 5) + seed * 11) % (w - w // 4)
+        y0 = (t * (2 + seed % 3) + seed * 5) % (h - h // 3)
+        img[y0:y0 + h // 3, x0:x0 + w // 4, :] = 250 if seed % 2 else 5
+        out.append(img)
+    return out
+
+
+def video_mjpeg_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-aligned MJPEG video near-dup (operators/avi.py), full
+    production path: RIFF/AVI container walk -> per-frame baseline-JPEG
+    decode -> numpy dHash -> per-(video,hash) canonicalization ->
+    stop-hash df prune -> 4x16-bit banded Hamming equi-join ->
+    modal-frame-offset alignment. Corpus: base (last frame repeats frame
+    0, exercising canonicalization), the SAME frames re-encoded at lower
+    JPEG quality (lossy cross-encode dedup), a 3-frame-trimmed copy
+    (alignment offset 3), and an unrelated video. JPEG is lossy, so no
+    closed pixel form exists: Spark materializes the 8x9 luma-cell
+    relation its hashes are built from, and the DuckDB oracle rebuilds
+    every dhash bit from those cells, then replays canonicalization,
+    BRUTE-FORCE pairwise Hamming (method-independent: certifies the
+    banded join's pigeonhole recall at Hamming <= 3) and the alignment
+    windows relationally. Reference parity: the candidate->verify->align
+    shape mirrors the audio_fp channel over chunked PCM
+    (/root/reference/chunkers/chunkers.go Split loop feeding dedup
+    stats, cmd/cdc/stats.go corpus walk)."""
+    from .operators.avi import (
+        avi_encode, mjpeg_frame_cells, mjpeg_frame_hashes, video_near_pairs,
+    )
+
+    base = _video_frames(10, seed=1)
+    base = base + [base[0]]
+    other = _video_frames(10, seed=9)
+    items = [
+        ("base", avi_encode(base, fps=10, quality=90)),
+        ("reenc", avi_encode(base, fps=10, quality=70)),
+        ("trim", avi_encode(base[3:], fps=10, quality=90)),
+        ("other", avi_encode(other, fps=10, quality=90)),
+    ]
+    vids = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in items], "item_id string, bytes binary")
+    _materialize(spark, mjpeg_frame_cells(vids), "video_cells")
+    return video_near_pairs(mjpeg_frame_hashes(vids)).orderBy("a", "b")
+
+
+def _video_neardup_sql() -> str:
+    return f"""
+WITH cells AS (SELECT * FROM {_mat('video_cells')}),
+bits AS (
+  SELECT a.item_id, a.frame_idx, a.cy AS row, a.cx AS x,
+         CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+  FROM cells a
+  JOIN cells b ON b.item_id = a.item_id AND b.frame_idx = a.frame_idx
+              AND b.cy = a.cy AND b.cx = a.cx + 1
+  WHERE a.cx < 8
+),
+hashes AS (
+  SELECT item_id, frame_idx,
+         sum(CASE WHEN bit = 1 THEN
+               CASE WHEN row*8 + x = 63 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << (row*8 + x)) END
+             ELSE 0 END)::BIGINT AS dhash
+  FROM bits GROUP BY item_id, frame_idx
+),
+canon AS (
+  SELECT item_id, dhash, min(frame_idx) AS frame_idx
+  FROM hashes GROUP BY item_id, dhash
+),
+dfc AS (SELECT dhash, count(DISTINCT item_id) AS df FROM canon GROUP BY dhash),
+pruned AS (
+  SELECT c.item_id, c.dhash, c.frame_idx
+  FROM canon c JOIN dfc ON dfc.dhash = c.dhash
+  WHERE dfc.df <= 16
+),
+matches AS (
+  SELECT l.item_id AS a, r.item_id AS b,
+         l.frame_idx - r.frame_idx AS off
+  FROM pruned l JOIN pruned r ON l.item_id < r.item_id
+  WHERE bit_count(xor(l.dhash, r.dhash)) <= 3
+),
+per_offset AS (
+  SELECT a, b, off, count(*)::BIGINT AS n_aligned
+  FROM matches GROUP BY a, b, off
+),
+totals AS (SELECT a, b, count(*)::BIGINT AS n_matches FROM matches GROUP BY a, b),
+best AS (
+  SELECT a, b, off, n_aligned,
+         row_number() OVER (PARTITION BY a, b
+                            ORDER BY n_aligned DESC, off ASC) AS rk
+  FROM per_offset
+)
+SELECT best.a, best.b, best.off::BIGINT AS "offset", best.n_aligned,
+       totals.n_matches
+FROM best JOIN totals ON totals.a = best.a AND totals.b = best.b
+WHERE best.rk = 1 AND best.n_aligned >= 2
+ORDER BY best.a, best.b
+"""
+
+
 QUERIES = {
     # CDC core (cutpoint scan pinned by the golden pytest suite; the
     # relational half oracle-checked via materialized chunk relations)
@@ -3689,6 +3802,7 @@ QUERIES = {
     "image_gif_decode": image_gif_decode,
     "image_tiff_decode": image_tiff_decode,
     "image_dhash_neardup": image_dhash_neardup,
+    "video_mjpeg_neardup": video_mjpeg_neardup,
     "audio_flac_decode": audio_flac_decode,
     "cdc_codec_invariant_chunks": cdc_codec_invariant_chunks,
     "audio_alaw_decode": audio_alaw_decode,
@@ -3762,6 +3876,7 @@ ORACLES = {
     "image_gif_decode": IMAGE_GIF_SQL,
     "image_tiff_decode": IMAGE_TIFF_SQL,
     "image_dhash_neardup": IMAGE_DHASH_SQL,
+    "video_mjpeg_neardup": _video_neardup_sql(),
     "audio_flac_decode": AUDIO_FLAC_SQL,
     "cdc_codec_invariant_chunks": CDC_CODEC_INVARIANT_SQL,
     "audio_alaw_decode": AUDIO_ALAW_SQL,
