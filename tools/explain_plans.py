@@ -113,6 +113,13 @@ def main() -> None:
          "bit_count(xor) verify in the same stage, groupBy(a,b) dedup -- "
          "the pigeonhole-exact Hamming<=3 shape, no all-pairs scan.",
          None),  # filled below
+        ("video MJPEG near-dup (canonicalize + band join + align)",
+         "avi.video_near_pairs: min-frame canonicalization (one partial-agg "
+         "Exchange), broadcast stop-hash anti-join, 4x16-bit band explode + "
+         "self equi-join with bit_count(xor) verify, then the modal-offset "
+         "row_number window -- JPEG decode stays ONE Arrow pass upstream "
+         "(pinned by test_video_decode_runs_once).",
+         None),  # filled below
         ("oracle query: tpch_q1_pricing",
          "Filter + project pushed to parquet scan (PushedFilters/ReadSchema); "
          "one Exchange for the groupBy.",
@@ -199,8 +206,17 @@ def main() -> None:
         "item_id string, dhash long")
     dhash_pairs = imagehash.dhash_near_pairs(dh, max_hamming=3)
 
+    # video near-dup: plan shape over synthetic frame hashes (decode is an
+    # upstream mapInPandas; the join/align shape is input-independent)
+    from go_cdc_chunkers_spark.operators import avi
+
+    vh = spark.createDataFrame(
+        [(f"v{i % 4}", i % 10, (i * 2654435761) % (2**63)) for i in range(40)],
+        "item_id string, frame_idx int, dhash long")
+    video_pairs = avi.video_near_pairs(vh, persist_hashes=False)
+
     filled = iter([fp_pairs, probe, fp_scoped, sim_pairs, band_probe,
-                   sem_dedup, dhash_pairs])
+                   sem_dedup, dhash_pairs, video_pairs])
     sections = [
         (t, n, next(filled) if d is None else d) for t, n, d in sections
     ]
