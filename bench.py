@@ -35,6 +35,8 @@ efficiency), --skew (candidate-stage hot-bucket growth), --store
 (bucketed-store probe shuffle volumes, see store_evidence()), --sketch
 (sidecar dedup-planning estimate cost vs exact store scan, see
 sketch_evidence()),
+--video (MJPEG frame-sampling decode cut: every_n vs full decode, see
+video_evidence()),
 --pipeline-scale (volume amortization), --bigfile (GB-scale ranged
 chunking vs whole-buffer, stitch overhead + identity), --ab-pipeline
 (interleaved fresh-JVM neardup_pipeline, head tree vs a snapshot-commit
@@ -966,6 +968,72 @@ def pipeline_session(cpus: int, n_base: int, exact_first: bool = False,
         spark.stop()
 
 
+def video_evidence(cpus: int) -> dict:
+    """Frame-sampling decode economics for the MJPEG video channel
+    (operators/avi.py): the AVI container gives frame boundaries without
+    decoding (each 00dc chunk is a standalone JPEG), so hashing every Nth
+    frame should cost ~1/N of the full decode -- that's the claim SCALE.md
+    makes for the thumbnail pass; this measures it. Corpus is encoded once
+    and cached under .bench; timing is warm best-of-3, alternating full /
+    sampled. Also asserts the sampling invariant on the measured runs:
+    every_n hashes == the full run's rows at frame_idx % N == 0."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_chunkers_spark.entry_queries import _video_frames
+    from go_cdc_chunkers_spark.operators.avi import avi_encode, mjpeg_frame_hashes
+    from go_cdc_chunkers_spark.session import get_spark
+
+    n_videos, n_frames, every_n = (
+        int(s) for s in os.environ.get("SPARK_GRAFT_VIDEO", "24,90,6").split(","))
+    spark = get_spark(app="bench-video", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    try:
+        path = os.path.join(BENCH_DIR, f"videos_{n_videos}x{n_frames}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            items = [(f"v{i}",
+                      avi_encode(_video_frames(n_frames, seed=i, w=96, h=64),
+                                 fps=10, quality=85))
+                     for i in range(n_videos)]
+            spark.createDataFrame(
+                [(k, bytearray(v)) for k, v in items],
+                "item_id string, bytes binary"
+            ).repartition(cpus).write.mode("overwrite").parquet(path)
+        vids = spark.read.parquet(path)
+        total_mb = vids.agg(F.sum(F.length("bytes"))).collect()[0][0] / 2**20
+
+        def run(n):
+            t0 = time.monotonic()
+            rows = mjpeg_frame_hashes(vids, every_n=n).collect()
+            return time.monotonic() - t0, rows
+
+        run(every_n)  # warm (JVM + Arrow + scratch pools)
+        sec = {1: float("inf"), every_n: float("inf")}
+        full_rows = samp_rows = None
+        for _ in range(3):
+            for n in (1, every_n):
+                s, rows = run(n)
+                if s < sec[n]:
+                    sec[n] = s
+                if n == 1:
+                    full_rows = rows
+                else:
+                    samp_rows = rows
+        want = {(r["item_id"], r["frame_idx"]): r["dhash"]
+                for r in full_rows if r["frame_idx"] % every_n == 0}
+        got = {(r["item_id"], r["frame_idx"]): r["dhash"] for r in samp_rows}
+        assert got == want, "sampling invariant broken"
+        return {
+            "n_videos": n_videos, "frames_per_video": n_frames,
+            "corpus_mb": round(total_mb, 2), "every_n": every_n,
+            "sec_full_decode": round(sec[1], 3),
+            "sec_sampled": round(sec[every_n], 3),
+            "decode_cut": round(sec[1] / sec[every_n], 2),
+            "sampled_hashes_subset_of_full": True,
+        }
+    finally:
+        spark.stop()
+
+
 def band_store_evidence(cpus: int) -> dict:
     """Touched-bucket scan evidence for the incremental clustering path
     (streaming/lambda_arch.py use_band_store): a fixed 20k-key touched set
@@ -1382,6 +1450,11 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--band-store":
         print(json.dumps({"metric": "incremental_band_store_scan",
                           **band_store_evidence(cpus)}))
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--video":
+        print(json.dumps({"metric": "video_frame_sampling",
+                          **video_evidence(cpus)}))
         return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--bigfile":
