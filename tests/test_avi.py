@@ -203,6 +203,35 @@ def test_stop_hash_prune_drops_boilerplate(spark):
     hashes.unpersist()
 
 
+def test_video_cli_file_tree(tmp_path):
+    """jobs/video.py over a file tree: base / 4-frame-trimmed copy /
+    unrelated -> exactly the (base, trim) pair at offset 4."""
+    import json
+    import subprocess
+    import sys
+
+    base = _frames(12, seed=1)
+    (tmp_path / "vids").mkdir()
+    for name, frames in [("base", base), ("trim", base[4:]),
+                         ("other", _frames(12, seed=9))]:
+        (tmp_path / "vids" / f"{name}.avi").write_bytes(
+            avi_encode(frames, fps=10, quality=90))
+    r = subprocess.run(
+        [sys.executable, "jobs/video.py", "--path", str(tmp_path / "vids"),
+         "--min-aligned", "3", "--cpus", "4",
+         "--hashes", str(tmp_path / "hashes")],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_videos"] == 3 and out["n_frame_hashes"] == 32
+    assert len(out["pairs"]) == 1
+    a, b, offset, n_aligned, _n = out["pairs"][0]
+    assert a.endswith("base.avi") and b.endswith("trim.avi")
+    assert offset == 4 and n_aligned >= 3
+    assert (tmp_path / "hashes" / "_SUCCESS").exists()
+
+
 def test_caps_keep_genuine_dup_recall(spark):
     # a real near-dup pair among the boilerplate crowd survives both caps
     cards = _frames(1, seed=3) + _frames(1, seed=6, shift=9)
