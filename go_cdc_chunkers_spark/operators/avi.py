@@ -91,11 +91,21 @@ def avi_encode(frames: list[np.ndarray], fps: int = 10, quality: int = 85) -> by
 
 
 def _walk(data: bytes, start: int, end: int):
-    """Yield (fourcc, payload_start, payload_size) for chunks in [start, end)."""
+    """Yield (fourcc, payload_start, payload_size) for chunks in [start, end).
+
+    A declared size overrunning the buffer raises ValueError (torn/truncated
+    file) instead of escaping as struct.error from a header unpack or --
+    worse -- silently yielding a short frame slice that decodes garbage
+    downstream: in a corpus-scale ingest, truncated files are a WHEN, and
+    the error must be catchable and say what happened."""
     p = start
     while p + 8 <= end:
         fourcc = data[p:p + 4]
         (size,) = struct.unpack_from("<I", data, p + 4)
+        if p + 8 + size > end:
+            raise ValueError(
+                f"truncated AVI: chunk {fourcc!r} at byte {p} declares "
+                f"{size} payload bytes, {end - p - 8} remain")
         yield fourcc, p + 8, size
         p += 8 + size + (size % 2)
 

@@ -93,6 +93,22 @@ def test_not_an_avi_raises():
         avi_info(b"\x89PNG1234567890")
 
 
+def test_truncated_avi_raises_cleanly():
+    """Every truncation point either raises a clean ValueError (or the
+    codec-gate NotImplementedError) or parses with ALL frame byte ranges
+    inside the buffer -- never struct.error, never a silent short frame
+    slice that would decode garbage downstream."""
+    frames = _frames(3, w=24, h=16)
+    raw = avi_encode(frames, fps=10)
+    for cut in range(0, len(raw)):
+        try:
+            info = avi_info(raw[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        for off, sz in info["frames"]:
+            assert off + sz <= cut, (cut, off, sz)
+
+
 def _videos_df(spark, items):
     return spark.createDataFrame(
         [(k, bytearray(v)) for k, v in items], "item_id string, bytes binary")
