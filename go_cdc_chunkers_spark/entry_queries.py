@@ -297,46 +297,56 @@ def cdc_resync_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_ms=2000, max_ms=5000)
     opts = ChunkerOpts(min_size=256, normal_size=1024, max_size=8192)
 
-    def corpus_df(tagged_rows, corpus: str, n_edits: int) -> DataFrame:
-        df = spark.createDataFrame(
-            [(r_id, bytearray(b)) for r_id, b in tagged_rows],
-            schema="clip_id string, bytes binary",
-        )
-        return (
-            chunking.chunk_clips(df, "fastcdc-v1.0.0", opts)
-            .withColumn("corpus", F.lit(corpus))
-            .withColumn("n_edits", F.lit(n_edits).cast("long"))
-        )
-
+    # ALL five corpora (orig + 4 edit levels) travel through ONE
+    # createDataFrame and ONE chunking pass: the previous shape unioned
+    # five separate chunk_clips branches, which planned five ArrowEvalPython
+    # subtrees over five local scans -- ~5x the tiny-task and Python-batch
+    # overhead for identical chunk rows (chunk output depends only on each
+    # row's bytes). corpus/n_edits ride along in the row id and are split
+    # back out columnar-side; the materialized relation is row-identical.
     base = [(r["clip_id"], r["bytes"]) for r in rows]
-    out = corpus_df(base, "orig", 0)
+    payloads = [("orig", 0, cid, b) for cid, b in base]
     for n in _RESYNC_SWEEP_EDITS:
-        edited = [
-            (cid, clips_src.edit_pcm_bytes(b, n, seed=100_000 * n + i))
+        payloads.extend(
+            ("edited", n, cid, clips_src.edit_pcm_bytes(b, n, seed=100_000 * n + i))
             for i, (cid, b) in enumerate(base)
-        ]
-        out = out.unionByName(corpus_df(edited, "edited", n))
-    ch = _materialize(
-        spark, out.select("corpus", "n_edits", "chunk_hash", "length"),
-        "cdc_resync_sweep")
-
-    orig_hashes = ch.filter(F.col("corpus") == "orig").select("chunk_hash").distinct()
-    edited = ch.filter(F.col("corpus") == "edited")
-    total = edited.groupBy("n_edits").agg(F.sum("length").alias("total_bytes"))
-    covered = (
-        edited.join(orig_hashes, "chunk_hash", "left_semi")
-        .groupBy("n_edits")
-        .agg(F.sum("length").alias("shared_bytes"))
-    )
-    return (
-        total.join(covered, "n_edits", "left")
-        .select(
-            "n_edits",
-            F.coalesce(F.col("shared_bytes"), F.lit(0)).cast("long").alias("shared_bytes"),
-            F.col("total_bytes").cast("long").alias("total_bytes"),
-            (F.coalesce(F.col("shared_bytes"), F.lit(0)) / F.col("total_bytes")
-             ).alias("shared_pct"),
         )
+    df = spark.createDataFrame(
+        [(f"{corpus}#{n}#{cid}", bytearray(b)) for corpus, n, cid, b in payloads],
+        schema="clip_id string, bytes binary",
+    )
+    out = (
+        chunking.chunk_clips(df, "fastcdc-v1.0.0", opts)
+        .withColumn("_parts", F.split("clip_id", "#"))
+        .select(
+            F.col("_parts").getItem(0).alias("corpus"),
+            F.col("_parts").getItem(1).cast("long").alias("n_edits"),
+            "chunk_hash", "length",
+        )
+    )
+    ch = _materialize(spark, out, "cdc_resync_sweep")
+
+    # shared + total in one pass: left-join the distinct original digests
+    # and sum conditionally, instead of a semi-join aggregate AND a second
+    # total aggregate joined back together.
+    orig_hashes = (
+        ch.filter(F.col("corpus") == "orig")
+        .select("chunk_hash").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    edited = ch.filter(F.col("corpus") == "edited")
+    return (
+        edited.join(orig_hashes, "chunk_hash", "left")
+        .groupBy("n_edits")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_hit").isNotNull(), F.col("length"))),
+                F.lit(0),
+            ).cast("long").alias("shared_bytes"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .withColumn(
+            "shared_pct", F.col("shared_bytes") / F.col("total_bytes"))
         .orderBy("n_edits")
     )
 

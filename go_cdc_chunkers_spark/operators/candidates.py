@@ -57,11 +57,19 @@ def candidate_pairs(
     b = bands
     if shuffle_partitions:
         b = b.repartition(shuffle_partitions, *key)
-    sized = b.withColumn(
-        "_bucket_n", F.count("*").over(Window.partitionBy(*key))
+    # One window pass computes everything the bucket routing needs: size,
+    # hub (min clip_id) and hub src. All three share the same partition
+    # spec, so Catalyst plans a single WindowExec over one Exchange -- the
+    # previous shape re-derived the hub with a groupBy + join back, paying
+    # an extra shuffle and join for values the window already had in hand.
+    w = Window.partitionBy(*key)
+    sized = b.select(
+        *key, "clip_id", "src",
+        F.count("*").over(w).alias("_bucket_n"),
+        F.min("clip_id").over(w).alias("_hub"),
+        F.min("src").over(w).alias("_hub_src"),
     )
-    small = sized.filter(F.col("_bucket_n") <= pair_cap).drop("_bucket_n")
-    big = sized.filter(F.col("_bucket_n") > pair_cap)
+    small = sized.filter(F.col("_bucket_n") <= pair_cap)
 
     left = small.select(*key, F.col("clip_id").alias("a"), "src")
     right = small.select(*key, F.col("clip_id").alias("b"))
@@ -71,18 +79,17 @@ def candidate_pairs(
         .select("a", "b", "src")
     )
 
+    big = sized.filter(F.col("_bucket_n") > pair_cap)
     if skew_mode == "star":
-        big = big.drop("_bucket_n")
-        # Star edges for hot buckets: linear, same connectivity.
-        # min (not first): first() is nondeterministic under shuffle and
-        # would break the byte-identical resume contract on mixed-src hot
-        # buckets.
-        hub = big.groupBy(*key).agg(F.min("clip_id").alias("a"), F.min("src").alias("hub_src"))
+        # Star edges for hot buckets: linear, same connectivity. The hub is
+        # min clip_id / min src over the bucket (min, not first: first() is
+        # nondeterministic under shuffle and would break the byte-identical
+        # resume contract on mixed-src hot buckets) -- already computed by
+        # the shared window above, so this branch is a pure projection.
         pairs_big = (
-            big.drop("src")
-            .join(hub, key)
-            .filter(F.col("clip_id") != F.col("a"))
-            .select("a", F.col("clip_id").alias("b"), F.col("hub_src").alias("src"))
+            big.filter(F.col("clip_id") != F.col("_hub"))
+            .select(F.col("_hub").alias("a"), F.col("clip_id").alias("b"),
+                    F.col("_hub_src").alias("src"))
         )
     else:
         # Salted exact pairs: G = ceil(m / salt_target) groups per bucket;

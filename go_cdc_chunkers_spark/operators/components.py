@@ -102,16 +102,15 @@ def connected_components(
         .distinct()
     )
 
-    rounds = 0
-    converged = False
-    for _i in range(max_iter):
-        rounds += 1
+    def _step(lbl: DataFrame) -> DataFrame:
+        """One propagation step (neighbour-min + pointer doubling) ->
+        labels + a per-row _changed flag."""
         neigh = (
-            und.join(labels, und.src == labels.clip_id)
+            und.join(lbl, und.src == lbl.clip_id)
             .groupBy(F.col("dst").alias("clip_id"))
             .agg(F.min("component_id").alias("_n"))
         )
-        merged = labels.join(neigh, "clip_id", "left").select(
+        merged = lbl.join(neigh, "clip_id", "left").select(
             "clip_id",
             F.least(
                 F.col("component_id"), F.coalesce(F.col("_n"), F.col("component_id"))
@@ -124,7 +123,7 @@ def connected_components(
         parents = merged.select(
             F.col("clip_id").alias("_p"), F.col("component_id").alias("_gp")
         )
-        merged = (
+        return (
             merged.join(parents, merged.component_id == parents._p, "left")
             .select(
                 "clip_id",
@@ -136,13 +135,29 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
+
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        # Fuse up to two propagation steps into ONE materialization: the
+        # label sequence is identical (same operations, just not
+        # materialized between the steps), but barriers, lineage cuts and
+        # (on the durable path) parquet write+read round trips halve. On a
+        # 1000-executor cluster each avoided cut is a full-cluster barrier;
+        # at sandbox scale it halves the stage's job-submission floor.
+        # `rounds` counts STEPS so max_iter keeps its meaning.
+        n_steps = min(2, max_iter - rounds)
+        merged = _step(labels)
+        if n_steps == 2:
+            merged = _step(merged.drop("_changed"))
+        rounds += n_steps
         # convergence signal piggybacks on the cut's own materialization
         # job via observe() -- it fires under BOTH eager localCheckpoint
-        # and the parquet write, so no second per-round job (and, on the
-        # durable path, no per-round re-scan of the label table just to
-        # probe _changed). At 10^12 vertices that is one fewer full
-        # cluster barrier per round; at sandbox scale it halves the
-        # stage's scheduler-latency floor.
+        # and the parquet write, so no second job (and, on the durable
+        # path, no re-scan of the label table just to probe _changed).
+        # Only the LAST fused step's _changed matters: if the final step
+        # moved no label, the table is a fixed point of the propagation
+        # operator and further rounds are no-ops.
         obs = Observation(f"cc_changed_{rounds}")
         merged = merged.observe(
             obs, F.sum(F.col("_changed").cast("long")).alias("n"))

@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,6 +155,7 @@ class Pipeline:
         self.spark = spark
         self.workdir = workdir
         self.cfg = config or PipelineConfig()
+        self._lineage_lock = threading.Lock()
         os.makedirs(workdir, exist_ok=True)
 
     # -- stage cache ------------------------------------------------------
@@ -176,8 +179,11 @@ class Pipeline:
             **(parts or {}),
             "config": self.cfg.to_json(),
         }
-        with open(os.path.join(self.workdir, "lineage.jsonl"), "a") as f:
-            f.write(json.dumps(row) + "\n")
+        # independent stages materialize from a small thread pool (run());
+        # the JSONL append must stay line-atomic under that concurrency
+        with self._lineage_lock:
+            with open(os.path.join(self.workdir, "lineage.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
 
     @staticmethod
     def _parquet_meta(path: str) -> tuple[int, int, dict]:
@@ -334,29 +340,42 @@ class Pipeline:
             clips = clips.join(canon, "clip_id", "left_semi").cache()
             clips.count()
 
-        chunks = self._chunks_stage(clips)
-        sig_pcm = self.stage(
-            "sig_pcm", lambda: signatures.minhash_signatures(chunks, k=cfg.k)
-        )
-        sig_text = self.stage(
-            "sig_text",
-            lambda: signatures.minhash_signatures(
-                signatures.char_shingles(clips, n=cfg.shingle_n),
-                item_col="shingle",
-                k=cfg.k,
-            ),
-        )
-        sim = self.stage("simhash_text", lambda: signatures.simhash64(clips))
+        # Overlap independent stage materializations (guide-style concurrent
+        # jobs): the byte-heavy chunks_pcm -> sig_pcm chain is the critical
+        # path, while sig_text / simhash_text (and the optional audio_fp
+        # chain) depend only on `clips`. Running them from a small thread
+        # pool lets their tasks back-fill executor cores left idle by the
+        # other chain's stage tails; Spark schedules concurrent jobs FIFO,
+        # so the first-submitted chain keeps priority. Stage outputs,
+        # checkpoints and the resume contract are unchanged -- only the
+        # wall-clock ordering of independent writes is.
+        def chunk_chain():
+            chunks = self._chunks_stage(clips)
+            return self.stage(
+                "sig_pcm", lambda: signatures.minhash_signatures(chunks, k=cfg.k)
+            )
 
-        extra_edges = None
-        if cfg.use_audio_fp:
+        def text_chain():
+            return self.stage(
+                "sig_text",
+                lambda: signatures.minhash_signatures(
+                    signatures.char_shingles(clips, n=cfg.shingle_n),
+                    item_col="shingle",
+                    k=cfg.k,
+                ),
+            )
+
+        def sim_chain():
+            return self.stage("simhash_text", lambda: signatures.simhash64(clips))
+
+        def audio_chain():
             from ..operators import audio_fp
 
             fps = self.stage(
                 "audio_fp",
                 lambda: audio_fp.spectral_fingerprints(clips),
             )  # stage boundary = the materialization fingerprint_pairs requires
-            extra_edges = self.stage(
+            return self.stage(
                 "audio_fp_pairs",
                 lambda: audio_fp.fingerprint_pairs(
                     fps,
@@ -364,6 +383,16 @@ class Pipeline:
                     min_matches=cfg.audio_fp_min_matches,
                 ),
             )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_pcm = pool.submit(chunk_chain)
+            f_text = pool.submit(text_chain)
+            f_sim = pool.submit(sim_chain)
+            f_audio = pool.submit(audio_chain) if cfg.use_audio_fp else None
+            sig_pcm = f_pcm.result()
+            sig_text = f_text.result()
+            sim = f_sim.result()
+            extra_edges = f_audio.result() if f_audio is not None else None
         comps = self.cluster(clips, sig_pcm, sig_text, sim, extra_edges)
         if groups is None:
             return comps
@@ -401,13 +430,8 @@ class Pipeline:
         bands = self.stage("bands", build_bands)
 
         cands_fresh = not self._done("candidates")
-        cands = self.stage(
-            "candidates",
-            lambda: cand_ops.candidate_pairs(
-                bands, pair_cap=cfg.pair_cap, shuffle_partitions=cfg.band_partitions
-            ),
-        )
-        if cands_fresh:
+
+        def cap_audit():
             # Star-cap audit row (VERDICT r4 item 5): the exact-first /
             # incremental "labels identical unless a bucket was capped"
             # caveat becomes CHECKABLE per run -- rows_out is the number
@@ -416,6 +440,10 @@ class Pipeline:
             # run's labels provably match an uncapped re-run. One cheap
             # count-agg over the already-materialized bands parquet;
             # skipped on stage resume (the audited stage didn't rerun).
+            # Runs concurrently with the candidates materialization (both
+            # read the same finished bands parquet): its tasks back-fill
+            # the candidate join's stage tails instead of costing a
+            # serial job of their own.
             t0 = time.time()
             n_capped = (
                 bands.groupBy("band_id", "band_hash").count()
@@ -424,6 +452,26 @@ class Pipeline:
                 "candidates_cap_audit", n_capped, t0, 0,
                 {"pair_cap": cfg.pair_cap,
                  "labels_match_uncapped_rerun": n_capped == 0})
+
+        if cands_fresh:
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                f_audit = pool.submit(cap_audit)
+                cands = self.stage(
+                    "candidates",
+                    lambda: cand_ops.candidate_pairs(
+                        bands, pair_cap=cfg.pair_cap,
+                        shuffle_partitions=cfg.band_partitions
+                    ),
+                )
+                f_audit.result()
+        else:
+            cands = self.stage(
+                "candidates",
+                lambda: cand_ops.candidate_pairs(
+                    bands, pair_cap=cfg.pair_cap,
+                    shuffle_partitions=cfg.band_partitions
+                ),
+            )
         verified = self.stage(
             "verified",
             lambda: cand_ops.verify_pairs_dual(
