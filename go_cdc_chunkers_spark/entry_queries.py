@@ -1387,9 +1387,8 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
     vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("cosine", similarity.cosine_expr(F.col("_va"), F.col("_vb")))
+        similarity.score_pairs_cosine(
+            cand.join(va, "a").join(vb, "b"), "_va", "_vb", "cosine")
         .filter(F.col("cosine") >= 0.35)
         .select(
             F.col("a").cast("long").alias("a"),

@@ -18,6 +18,7 @@ no Python in either path.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves the dots-UDF type hints)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +53,80 @@ def cosine_expr(a, b):
     )
 
 
+def _cosine_dots_udf():
+    """Arrow-vectorized twin of the three _dot_scaled aggregates: one
+    pandas UDF returning struct<dot,na,nb> (the integer-scaled dot and both
+    norms), computed with numpy over whole batches. The interpreted
+    higher-order aggregate(zip_with(...)) costs ~microseconds PER ELEMENT
+    (Catalyst does not codegen lambda functions); on a pair-heavy scorer
+    that is the whole stage. Values are bit-identical: float32 -> float64
+    promotion, (x*y)*1e12 evaluation order, and HALF_UP tie-rounding
+    (floor(t+0.5) / ceil(t-0.5), exact for |t| < 2^51 -- these dots are
+    <= dims * 1e12) all match the JVM expression; the int64 sum is exact
+    either way. The division + round(.,6) stay JVM-side so the published
+    double is produced by the same engine expression as before."""
+    from pyspark.sql import types as T
+
+    dots_type = T.StructType([
+        T.StructField("dot", T.LongType(), False),
+        T.StructField("na", T.LongType(), False),
+        T.StructField("nb", T.LongType(), False),
+    ])
+
+    @F.pandas_udf(dots_type)
+    def _dots(va: pd.Series, vb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        def half_up(t):
+            return np.where(
+                t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5)).astype(np.int64)
+
+        try:
+            A = np.array(va.tolist(), dtype=np.float64)
+            B = np.array(vb.tolist(), dtype=np.float64)
+            if A.ndim != 2 or B.ndim != 2:
+                raise ValueError("ragged batch")
+            dot = half_up(A * B * _SCALE).sum(axis=1)
+            na = half_up(A * A * _SCALE).sum(axis=1)
+            nb = half_up(B * B * _SCALE).sum(axis=1)
+        except ValueError:
+            # ragged batch (mixed dims): per-row numpy, same arithmetic
+            dot, na, nb = [], [], []
+            for x, y in zip(va, vb):
+                x = np.asarray(x, dtype=np.float64)
+                y = np.asarray(y, dtype=np.float64)
+                dot.append(half_up(x * y * _SCALE).sum())
+                na.append(half_up(x * x * _SCALE).sum())
+                nb.append(half_up(y * y * _SCALE).sum())
+        return pd.DataFrame({"dot": dot, "na": na, "nb": nb})
+
+    return _dots
+
+
+def score_pairs_cosine(df: DataFrame, a_col: str, b_col: str, out_col: str,
+                       drop_vecs: bool = True) -> DataFrame:
+    """df + out_col = cosine_expr(a_col, b_col), with the per-element work
+    Arrow-vectorized (see _cosine_dots_udf). Every multi-row scorer uses
+    this -- pair scans (candidate verification, intra-cluster, brute-force
+    oracles) AND the centroid/codebook cross joins, whose row multiplier
+    (x n_centroids / x codewords) makes the interpreted lambda cost
+    dominate just the same. cosine_expr remains the single-expression
+    JVM form for tests and future scalar call sites."""
+    dots = _cosine_dots_udf()
+    out = df.withColumn("_dots", dots(F.col(a_col), F.col(b_col))).withColumn(
+        out_col,
+        F.round(
+            F.col("_dots.dot")
+            / F.sqrt(F.col("_dots.na").cast("double")
+                     * F.col("_dots.nb").cast("double")),
+            6,
+        ),
+    ).drop("_dots")
+    if drop_vecs:
+        out = out.drop(a_col, b_col)
+    return out
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -66,11 +141,9 @@ def brute_force_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
-        .drop("_qv", "_cv")
+    scored = score_pairs_cosine(
+        q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")),
+        "_qv", "_cv", "cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -87,6 +160,61 @@ def brute_force_topk(
     )
 
 
+# --- exact Python port of Spark's XXH64 primitives (catalyst
+# expressions/XXH64): needed so executors can derive the +-1 hyperplane
+# matrix without evaluating 64 interpreted lambda aggregates per row.
+# Pinned bit-exact against F.xxhash64 in tests/test_operators_unit.py. ---
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_int(value: int, seed: int) -> int:
+    """XXH64.hashInt -- how Spark's xxhash64 folds an IntegerType column."""
+    h = (seed + _XXH_P5 + 4) & _XXH_M
+    h ^= ((value & 0xFFFFFFFF) * _XXH_P1) & _XXH_M
+    h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+    return _xxh_fmix(h)
+
+
+_SIGN_CACHE: dict = {}
+
+
+def _hyperplane_signs(seed: int, n_bits: int, dim: int):
+    """(n_bits, dim) float64 matrix of +-1 from the parity of
+    xxhash64(seed, i, d) -- the exact values the old per-bit lambda
+    aggregate derived element-wise in the JVM. Cached per worker process
+    (worker reuse keeps it across tasks)."""
+    import numpy as np
+
+    key = (seed, n_bits, dim)
+    got = _SIGN_CACHE.get(key)
+    if got is None:
+        rows = []
+        for i in range(n_bits):
+            h1 = xxhash64_int(i, xxhash64_int(seed, 42))
+            rows.append([1.0 if xxhash64_int(d, h1) & 1 else -1.0
+                         for d in range(dim)])
+        got = _SIGN_CACHE[key] = np.array(rows, dtype=np.float64)
+    return got
+
+
 def hyperplane_sketch(
     embeddings: DataFrame,
     n_bits: int = 64,
@@ -96,12 +224,78 @@ def hyperplane_sketch(
 ) -> DataFrame:
     """Random-hyperplane LSH: bit_i = sign(<v, r_i>) with pseudo-random
     hyperplanes derived from xxhash64(seed, i, dim) -- reproducible without
-    shipping a matrix, JVM-only. Returns (vec_id, sketch long).
+    shipping a matrix. Returns (vec_id, sketch long).
 
     Default widened to 64 bits (8x8-bit bands downstream): the old 16-bit /
     4-band geometry gave only 16 buckets per band -> ~N^2/16 candidates at
     corpus scale. Bits are OR-ed via shiftleft so bit 63 (the sign bit of
-    the long) is well-defined."""
+    the long) is well-defined.
+
+    Computed in one Arrow-vectorized UDF: the expression form
+    (_hyperplane_sketch_expr, kept for the identity test) evaluates
+    n_bits interpreted lambda aggregates of dim elements PER ROW --
+    n_bits x dim x ~0.5us of expression-interpreter overhead dwarfs the
+    actual multiply-adds. The UDF accumulates each bit's dot
+    SEQUENTIALLY over dims (acc += v[d] * sign), the same left fold as
+    the aggregate(), so every IEEE addition happens in the same order
+    and the sign bits are identical; the +-1 matrix comes from the
+    bit-exact xxhash64 port above."""
+    n_bits_c, seed_c = int(n_bits), int(seed)
+
+    @F.pandas_udf("long")
+    def _sketch(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def row_sketch(x) -> int:
+            if x is None or len(x) == 0:
+                return 0  # matches when(null/0-dot > 0, ...).otherwise(0)
+            xv = np.asarray(x, dtype=np.float64)
+            signs = _hyperplane_signs(seed_c, n_bits_c, len(xv))
+            out = 0
+            for i in range(n_bits_c):
+                acc = 0.0
+                s = signs[i]
+                for d in range(len(xv)):
+                    acc += xv[d] * s[d]
+                if acc > 0:
+                    out |= 1 << i
+            return out
+
+        arrs = v.tolist()
+        try:
+            V = np.array(arrs, dtype=np.float64)
+            if V.ndim != 2:
+                raise ValueError("ragged batch")
+        except (ValueError, TypeError):
+            return pd.Series([row_sketch(x) for x in arrs],
+                             dtype="int64")
+        n, dim = V.shape
+        signs = _hyperplane_signs(seed_c, n_bits_c, dim)
+        out = np.zeros(n, dtype=np.uint64)
+        for i in range(n_bits_c):
+            acc = np.zeros(n, dtype=np.float64)
+            s = signs[i]
+            for d in range(dim):
+                # sequential over dims = the aggregate()'s left fold;
+                # vectorized over rows only, so per-row IEEE order matches
+                acc += V[:, d] * s[d]
+            out |= (acc > 0).astype(np.uint64) << np.uint64(i)
+        return pd.Series(out.astype(np.int64))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), _sketch(F.col(vec_col)).alias("sketch"))
+
+
+def _hyperplane_sketch_expr(
+    embeddings: DataFrame,
+    n_bits: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """The original pure-expression form of hyperplane_sketch; kept as the
+    identity oracle for the vectorized path (tests assert sketch-for-sketch
+    equality)."""
     dims = F.size(F.col(vec_col))
     # r_i[d] in {-1, +1} from the parity of xxhash64(seed, i, d)
     def bit(i: int):
@@ -201,11 +395,9 @@ def topk_from_candidates(
     """Integer-exact cosine scoring + per-query top-k over a candidate set."""
     qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        cand.join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
-        .drop("_qv", "_cv")
+    scored = score_pairs_cosine(
+        cand.join(qv, "query_id").join(cv, "neighbor_id"),
+        "_qv", "_cv", "cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -240,10 +432,11 @@ def ivf_assign(
     ties broken by centroid_id. Centroids are broadcast (k is small)."""
     from pyspark.sql.functions import broadcast
 
-    scored = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).crossJoin(broadcast(centroids)).withColumn(
-        "_sim", cosine_expr(F.col("_v"), F.col("centroid"))
+    scored = score_pairs_cosine(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ).crossJoin(broadcast(centroids)),
+        "_v", "centroid", "_sim",
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     return (
@@ -357,10 +550,10 @@ def ivf_candidates(
 
     assign = ivf_assign(embeddings, centroids, id_col, vec_col)
     qv = embeddings.join(queries.select(id_col).distinct(), id_col, "left_semi")
-    qscored = (
+    qscored = score_pairs_cosine(
         qv.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_sim", cosine_expr(F.col("_v"), F.col("centroid")))
+        .crossJoin(broadcast(centroids)),
+        "_v", "centroid", "_sim",
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     probes = (
@@ -489,8 +682,9 @@ def pq_encode(
     from pyspark.sql.functions import broadcast
 
     subs = _subvectors(embeddings, m, dsub, id_col, vec_col, "vec_id")
-    scored = subs.join(broadcast(codebooks), "sub_id").withColumn(
-        "_sim", cosine_expr(F.col("subvec"), F.col("centroid"))
+    scored = score_pairs_cosine(
+        subs.join(broadcast(codebooks), "sub_id"),
+        "subvec", "centroid", "_sim",
     )
     w = Window.partitionBy("vec_id", "sub_id").orderBy(
         F.col("_sim").desc_nulls_last(), F.col("code"))
@@ -600,9 +794,10 @@ def semantic_dedup(
     hi = v.select(F.col("vec_id").alias("_hi"), F.col("_v").alias("_vhi"),
                   "centroid_id")
     dups = (
-        lo.join(hi, "centroid_id")
-        .filter(F.col("_lo") < F.col("_hi"))
-        .withColumn("_sim", cosine_expr(F.col("_vlo"), F.col("_vhi")))
+        score_pairs_cosine(
+            lo.join(hi, "centroid_id").filter(F.col("_lo") < F.col("_hi")),
+            "_vlo", "_vhi", "_sim",
+        )
         .filter(F.col("_sim") >= threshold)
         .groupBy(F.col("_hi").alias("vec_id"))
         .agg(F.min("_lo").alias("dup_of"))
