@@ -68,22 +68,30 @@ def connected_components(
     if checkpoint_dir is not None:
         import os
         import shutil
+        import threading
 
         os.makedirs(checkpoint_dir, exist_ok=True)
         spark = vertices.sparkSession
         seq = [0]
-        # cc_001 (initial labels) and cc_002 (undirected edges, re-read
-        # EVERY round) must live for the whole computation; label merges
-        # (cc_003+) are each fully consumed by the next round's write, so
-        # only the newest is needed for restart. Without reclamation a
-        # 10^12-vertex run would hold ~30 rounds x the full label table.
+        seq_lock = threading.Lock()
+        # The two init cuts (cc_001/cc_002: initial labels + undirected
+        # edges, the latter re-read EVERY round) must live for the whole
+        # computation; label merges (cc_003+) are each fully consumed by
+        # the next round's write, so only the newest is needed for
+        # restart. Without reclamation a 10^12-vertex run would hold ~30
+        # rounds x the full label table. (The init cuts run from a thread
+        # pool, so sequence assignment is locked; which init table lands
+        # as cc_001 vs cc_002 is immaterial -- reclamation only
+        # distinguishes init files, seq <= 2, from merge files.)
         prev_merge = [None]
 
         def _cut(df: DataFrame) -> DataFrame:
-            seq[0] += 1
-            p = os.path.join(checkpoint_dir, f"cc_{seq[0]:03d}.parquet")
+            with seq_lock:
+                seq[0] += 1
+                mine = seq[0]
+            p = os.path.join(checkpoint_dir, f"cc_{mine:03d}.parquet")
             df.write.mode("overwrite").parquet(p)
-            if seq[0] > 2:
+            if mine > 2:
                 if prev_merge[0] is not None:
                     shutil.rmtree(prev_merge[0], ignore_errors=True)
                 prev_merge[0] = p
@@ -92,15 +100,25 @@ def connected_components(
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    labels = _cut(vertices.select(
-        F.col(id_col).alias("clip_id"), F.col(id_col).alias("component_id")
-    ))
+    # The two init cuts (label table, undirected-deduped edge table) are
+    # independent writes -- materialize them concurrently so one write's
+    # task tail back-fills the other's idle cores instead of paying two
+    # serial job latencies. Threads matter only for the wall clock; the
+    # cut files and everything downstream are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
 
-    und = _cut(
+    lbl0 = vertices.select(
+        F.col(id_col).alias("clip_id"), F.col(id_col).alias("component_id"))
+    und0 = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lbl = pool.submit(_cut, lbl0)
+        f_und = pool.submit(_cut, und0)
+        labels = f_lbl.result()
+        und = f_und.result()
 
     def _step(lbl: DataFrame) -> DataFrame:
         """One propagation step (neighbour-min + pointer doubling) ->
