@@ -24,13 +24,18 @@ from pyspark.sql import functions as F
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams; whitespace tokenization."""
+                 text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-grams; whitespace tokenization. distinct=True
+    (default) gives set semantics -- required by consumers that COUNT
+    shingles (ngram_jaccard_pairs, decontaminate). Min-aggregating
+    consumers (MinHash) pass distinct=False: min over the multiset equals
+    min over its support set, and skipping the dedup drops a full shuffle
+    of the shingle relation."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r" +").alias("_w"),
     )
-    return (
+    out = (
         words.select(
             "doc_id",
             F.when(
@@ -44,8 +49,8 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             .alias("_sh"),
         )
         .select("doc_id", F.explode("_sh").alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -97,8 +102,10 @@ def ngram_jaccard_pairs(
 def md5_minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     """MinHash with the hash family h_i(s) = md5(i || '|' || s), min taken
     lexicographically over the hex digest -- a valid permutation family that
-    DuckDB reproduces verbatim (the oracle hook)."""
-    sh = doc_shingles(docs, n)
+    DuckDB reproduces verbatim (the oracle hook). Shingles come through as
+    a multiset (distinct=False): the min-aggregate is invariant to
+    duplicates, so the shingle dedup shuffle would buy nothing."""
+    sh = doc_shingles(docs, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
