@@ -60,6 +60,18 @@ def _mat(name: str) -> str:
     """read_parquet() glob for the oracle SQL."""
     return f"read_parquet('{_MAT_ROOT}/{name}/*.parquet')"
 
+
+def _ordered(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for a SMALL, bounded result relation -- row-identical to
+    .orderBy(*cols) but without its Exchange(rangepartitioning), whose
+    boundary-sampling pass RE-EXECUTES the child plan: a query that ends a
+    Python decode / multi-join DAG with orderBy() silently runs that DAG
+    twice (measured: a mapInPandas child sees every row exactly twice).
+    One round-robin shuffle to a single partition plus an in-partition
+    sort evaluates the child once; only for verification-sized outputs --
+    a corpus-sized relation should keep orderBy's parallel sort."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
 # ---------------------------------------------------------------------------
 # Synthetic clips (deterministic; cached per session via a temp view)
 # ---------------------------------------------------------------------------
@@ -347,7 +359,7 @@ def cdc_resync_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "shared_pct", F.col("shared_bytes") / F.col("total_bytes"))
-        .orderBy("n_edits")
+        .transform(lambda d: _ordered(d, "n_edits"))
     )
 
 
@@ -757,7 +769,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 17 == 0)
     tr = docs.filter(F.col("doc_id") % 17 != 0)
-    return decontaminate(tr, ev, n=4, hash_flavor="raw").orderBy("doc_id")
+    return _ordered(decontaminate(tr, ev, n=4, hash_flavor="raw"), "doc_id")
 
 
 DOC_DECONTAMINATE_SQL = """
@@ -1779,7 +1791,7 @@ def doc_simhash_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("long").alias("b"),
             F.col("hamming").cast("int").alias("hamming"),
         )
-        .orderBy("a", "b")
+        .transform(lambda d: _ordered(d, "a", "b"))
     )
 
 
@@ -1809,7 +1821,7 @@ def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="clip_id string, bytes binary",
     )
     mat = _materialize(spark, audio_fp.spectral_fingerprints(df), "audio_fp")
-    return audio_fp.fingerprint_pairs(mat).orderBy("a", "b")
+    return _ordered(audio_fp.fingerprint_pairs(mat), "a", "b")
 
 
 AUDIO_FP_SQL = f"""
@@ -1987,8 +1999,9 @@ def audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sample": pcm.astype(np.int32),
                 })
 
-    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
-            .orderBy("clip_id", "idx"))
+    return _ordered(
+        clips.mapInPandas(gen, "clip_id string, idx long, sample int"),
+        "clip_id", "idx")
 
 
 AUDIO_MULAW_SQL = f"""
@@ -2045,8 +2058,9 @@ def audio_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sample": pcm.astype(np.int32),
                 })
 
-    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
-            .orderBy("clip_id", "idx"))
+    return _ordered(
+        clips.mapInPandas(gen, "clip_id string, idx long, sample int"),
+        "clip_id", "idx")
 
 
 AUDIO_ALAW_SQL = f"""
@@ -2127,8 +2141,9 @@ def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sample": pcm.astype(np.int32),
                 })
 
-    return (clips.mapInPandas(gen, "clip_id string, idx long, sample int")
-            .orderBy("clip_id", "idx"))
+    return _ordered(
+        clips.mapInPandas(gen, "clip_id string, idx long, sample int"),
+        "clip_id", "idx")
 
 
 def _adpcm_sql() -> str:
@@ -2226,8 +2241,8 @@ def audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope filter demonstrably removes the other variants' pairs
     scope = df.select("clip_id").filter(
         F.substring("clip_id", 7, 8).cast("long") >= 52)
-    return (audio_fp.fingerprint_pairs(mat, scope_clip_ids=scope)
-            .orderBy("a", "b"))
+    return _ordered(
+        audio_fp.fingerprint_pairs(mat, scope_clip_ids=scope), "a", "b")
 
 
 AUDIO_FP_INC_SQL = f"""
@@ -2343,10 +2358,10 @@ def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("energy") * 1e9).cast("long").alias("e9"),
     )
     fr = _materialize(spark, ints, "audio_silence_frames")
-    return silence_trim(
+    return _ordered(silence_trim(
         fr.select("clip_id", "frame_idx", F.col("e9").alias("energy")),
         threshold=10_000_000, frame_ms=20,
-    ).orderBy("clip_id")
+    ), "clip_id")
 
 
 AUDIO_SILENCE_SQL = f"""
@@ -2391,7 +2406,7 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
                 "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
-        .orderBy("doc_id", "rk")
+        .transform(lambda d: _ordered(d, "doc_id", "rk"))
     )
 
 
@@ -2441,7 +2456,7 @@ def incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _materialize(spark, chunks, "incremental_store_chunks")
     store = ch.filter(F.col("in_store"))
     new = ch.filter(~F.col("in_store"))
-    return incremental.exact_dedup_vs_store(new, store).orderBy("clip_id")
+    return _ordered(incremental.exact_dedup_vs_store(new, store), "clip_id")
 
 
 INCREMENTAL_STORE_SQL = f"""
@@ -2490,10 +2505,10 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = incremental.near_dup_candidates_vs_store(
         ren.filter(~F.col("in_store")), ren.filter(F.col("in_store")), max_df=8
     )
-    return pairs.select(
+    return _ordered(pairs.select(
         F.col("new_clip").cast("long").alias("a"),
         F.col("store_clip").cast("long").alias("b"),
-    ).orderBy("a", "b")
+    ), "a", "b")
 
 
 INCREMENTAL_NEAR_DUP_SQL = f"""
@@ -2576,9 +2591,9 @@ def image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "a": px[:, :, 3].ravel().astype(np.int32),
                 })
 
-    return df.mapInPandas(
+    return _ordered(df.mapInPandas(
         gen, "img_id string, y int, x int, r int, g int, b int, a int"
-    ).orderBy("img_id", "y", "x")
+    ), "img_id", "y", "x")
 
 
 def _png_img_sql(img_id: str, w: int, h: int, r: str, g: str, b: str,
@@ -2704,9 +2719,9 @@ def image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "b": px[:, :, 2].ravel().astype(np.int32),
                 })
 
-    return df.mapInPandas(
+    return _ordered(df.mapInPandas(
         gen, "img_id string, y int, x int, r int, g int, b int"
-    ).orderBy("img_id", "y", "x")
+    ), "img_id", "y", "x")
 
 
 def _jpeg_comp_sql(name: str, nby: int, nbx: int, salt: int, qt: str,
@@ -2854,10 +2869,10 @@ def image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "a": px[:, :, 3].ravel().astype(np.int32),
                     })
 
-    return df.mapInPandas(
+    return _ordered(df.mapInPandas(
         gen, "img_id string, f int, y int, x int, "
         "r int, g int, b int, a int"
-    ).orderBy("img_id", "f", "y", "x")
+    ), "img_id", "f", "y", "x")
 
 
 def _gif_img_sql(img_id: str, f: int, w: int, h: int, idx: str,
@@ -2980,9 +2995,9 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "a": px[:, :, 3].ravel().astype(np.int32),
                 })
 
-    return df.mapInPandas(
+    return _ordered(df.mapInPandas(
         gen, "img_id string, y int, x int, r int, g int, b int, a int"
-    ).orderBy("img_id", "y", "x")
+    ), "img_id", "y", "x")
 
 
 IMAGE_TIFF_SQL = (
@@ -3056,9 +3071,9 @@ def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "sample": samples[:, ch].astype(np.int32),
                     })
 
-    return df.mapInPandas(
+    return _ordered(df.mapInPandas(
         gen, "clip_id string, ch int, i int, sample int"
-    ).orderBy("clip_id", "ch", "i")
+    ), "clip_id", "ch", "i")
 
 
 AUDIO_FLAC_SQL = """
@@ -3163,7 +3178,7 @@ def cdc_codec_invariant_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 256,
             ).alias("profile_sha"),
         )
-        .orderBy("clip_id", "container")
+        .transform(lambda d: _ordered(d, "clip_id", "container"))
     )
 
 
@@ -3367,9 +3382,9 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "img_id string, data binary")
     pairs = dhash_near_pairs(dhash_images(df, id_col="img_id"),
                              max_hamming=3)
-    return pairs.select(
+    return _ordered(pairs.select(
         "a", "b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("a", "b")
+    ), "a", "b")
 
 
 IMAGE_DHASH_SQL = """
@@ -3435,8 +3450,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1, seed=23)
     cmat = _materialize(spark, cents, "semdedup_centroids")
-    return similarity.semantic_dedup(emb, cmat, threshold=0.35).orderBy(
-        "vec_id")
+    return _ordered(
+        similarity.semantic_dedup(emb, cmat, threshold=0.35), "vec_id")
 
 
 def _semdedup_sql() -> str:
@@ -3509,8 +3524,8 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float noise ~1e-14, margin ~1e8x)."""
     from .operators.text_quality import bigram_lm_scores
 
-    return bigram_lm_scores(
-        _table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return _ordered(bigram_lm_scores(
+        _table(spark, sf_dir, "documents")), "doc_id")
 
 
 DOC_BIGRAM_LM_SQL = """
@@ -3550,8 +3565,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines."""
     from .operators.text_quality import repetition_stats
 
-    return repetition_stats(
-        _table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return _ordered(repetition_stats(
+        _table(spark, sf_dir, "documents")), "doc_id")
 
 
 DOC_REPETITION_SQL = """
@@ -3621,7 +3636,7 @@ def audio_mfcc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame(
         rows, "clip_id string, bytes binary, sr_hz int, codec string")
-    return mfcc_ops.mfcc_features(df).orderBy("clip_id", "frame", "coef")
+    return _ordered(mfcc_ops.mfcc_features(df), "clip_id", "frame", "coef")
 
 
 def _mfcc_sql() -> str:
@@ -3727,7 +3742,7 @@ def video_mjpeg_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = spark.createDataFrame(
         [(k, bytearray(v)) for k, v in items], "item_id string, bytes binary")
     _materialize(spark, mjpeg_frame_cells(vids), "video_cells")
-    return video_near_pairs(mjpeg_frame_hashes(vids)).orderBy("a", "b")
+    return _ordered(video_near_pairs(mjpeg_frame_hashes(vids)), "a", "b")
 
 
 def _video_neardup_sql() -> str:
