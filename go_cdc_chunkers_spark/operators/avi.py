@@ -303,7 +303,13 @@ def video_near_pairs(frame_hashes: DataFrame, max_hamming: int = 3,
     branches (df counts, prune, join left/right), and without the cache
     each would re-run the upstream JPEG decode -- measured 2x decode even
     with AQE exchange reuse (test_video_decode_runs_once pins 1x)."""
-    from .imagehash import N_BANDS, BAND_BITS  # noqa: F401 (doc parity)
+    from .imagehash import BAND_BITS, N_BANDS
+
+    if max_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > {N_BANDS - 1}: the {N_BANDS}-band "
+            "pigeonhole join only guarantees recall for Hamming <= "
+            f"{N_BANDS - 1} (same contract as imagehash.dhash_near_pairs)")
 
     canon = frame_hashes.groupBy("item_id", "dhash").agg(
         F.min("frame_idx").alias("frame_idx"))
@@ -315,13 +321,15 @@ def video_near_pairs(frame_hashes: DataFrame, max_hamming: int = 3,
         canon.join(F.broadcast(df_counts.filter(F.col("_df") > max_df)),
                    "dhash", "left_anti")
     )
+    # band structs derive from the imagehash constants, so this channel's
+    # hash space can never silently desync from dhash_near_pairs'
     bands = [
         F.struct(
             F.lit(i).alias("band_idx"),
-            F.shiftrightunsigned(F.col("dhash"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF)).alias("band_value"),
+            F.shiftrightunsigned(F.col("dhash"), i * BAND_BITS)
+            .bitwiseAND(F.lit((1 << BAND_BITS) - 1)).alias("band_value"),
         )
-        for i in range(4)
+        for i in range(N_BANDS)
     ]
     banded = pruned.select(
         "item_id", "dhash", "frame_idx",
@@ -346,17 +354,22 @@ def video_near_pairs(frame_hashes: DataFrame, max_hamming: int = 3,
     )
     per_offset = matches.groupBy("a", "b", "offset").agg(
         F.count("*").cast("long").alias("n_aligned"))
-    totals = matches.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("n_matches"))
-    w = Window.partitionBy("a", "b").orderBy(
-        F.desc("n_aligned"), F.asc("offset"))
+    # n_matches = sum of n_aligned over the pair's offsets (matches rows
+    # are distinct, so the counts partition exactly): a window sum over
+    # the SAME (a, b) partitioning the rank needs, instead of a second
+    # aggregate over `matches` joined back -- which re-executed the whole
+    # banded self-join + distinct per action (the canon persist only
+    # protects the decode, not the join).
+    wp = Window.partitionBy("a", "b")
+    w = wp.orderBy(F.desc("n_aligned"), F.asc("offset"))
     best = (
-        per_offset.withColumn("_rk", F.row_number().over(w))
+        per_offset
+        .withColumn("n_matches", F.sum("n_aligned").over(wp).cast("long"))
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1).drop("_rk")
     )
     return (
-        best.join(totals, ["a", "b"])
-        .filter(F.col("n_aligned") >= min_aligned)
+        best.filter(F.col("n_aligned") >= min_aligned)
         .select("a", "b", F.col("offset").cast("long").alias("offset"),
                 "n_aligned", "n_matches")
     )
