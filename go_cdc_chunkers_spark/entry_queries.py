@@ -170,10 +170,19 @@ def cdc_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ch.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy("algo"))
     )
-    p50 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 50 / 100) + 1).groupBy(
-        "algo").agg(F.min("length").cast("long").alias("p50"))
-    p95 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 95 / 100) + 1).groupBy(
-        "algo").agg(F.min("length").cast("long").alias("p95"))
+    # one ranked pass for both index percentiles (see doc_length_stats)
+    i50 = F.floor(F.col("n") * 50 / 100) + 1
+    i95 = F.floor(F.col("n") * 95 / 100) + 1
+    pcts = (
+        ranked.filter((F.col("rn") == i50) | (F.col("rn") == i95))
+        .groupBy("algo")
+        .agg(
+            F.min(F.when(F.col("rn") == i50, F.col("length")))
+            .cast("long").alias("p50"),
+            F.min(F.when(F.col("rn") == i95, F.col("length")))
+            .cast("long").alias("p95"),
+        )
+    )
     lg = F.col("length").cast("long")
     base = (
         ch.groupBy("algo")
@@ -197,7 +206,7 @@ def cdc_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_s", "_ss")
     )
-    return base.join(p50, "algo").join(p95, "algo")
+    return base.join(pcts, "algo")
 
 
 CDC_DISTRIBUTION_SQL = f"""
@@ -555,19 +564,28 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy("lang"))
     )
-    p50 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 50 / 100) + 1).groupBy(
-        "lang"
-    ).agg(F.min("n_chars").cast("long").alias("p50_chars"))
-    p95 = ranked.filter(F.col("rn") == F.floor(F.col("n") * 95 / 100) + 1).groupBy(
-        "lang"
-    ).agg(F.min("n_chars").cast("long").alias("p95_chars"))
+    # both index-based percentiles from ONE ranked pass (conditional min
+    # aggregation) -- the previous two filtered branches each re-planned
+    # the window subtree (Exchange + two sorts apiece)
+    i50 = F.floor(F.col("n") * 50 / 100) + 1
+    i95 = F.floor(F.col("n") * 95 / 100) + 1
+    pcts = (
+        ranked.filter((F.col("rn") == i50) | (F.col("rn") == i95))
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("rn") == i50, F.col("n_chars")))
+            .cast("long").alias("p50_chars"),
+            F.min(F.when(F.col("rn") == i95, F.col("n_chars")))
+            .cast("long").alias("p95_chars"),
+        )
+    )
     base = docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
-    return base.join(p50, "lang").join(p95, "lang")
+    return base.join(pcts, "lang")
 
 
 DOC_LENGTH_STATS_SQL = """
