@@ -67,16 +67,21 @@ def test_semantic_dedup_plan_cluster_scoped(spark):
     p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in p
-    # the pair scan is the join whose condition carries the cosine
-    # threshold; its equi-keys must be the cluster ids (cluster-scoped
-    # enumeration), with the _lo < _hi + similarity filter riding the
-    # join condition rather than a post-join Cartesian filter
+    # the pair scan is the equi-join keyed on the cluster ids
+    # (cluster-scoped enumeration) with the _lo < _hi ordering riding the
+    # join condition; since the cosine moved into the vectorized Arrow
+    # scorer (r06), the similarity threshold can no longer sit IN the join
+    # condition -- it must instead be a Filter applied directly to the
+    # scored struct (pruning pairs right after the ArrowEvalPython, before
+    # any aggregate or further join)
     import re
 
     blocks = re.split(r"\n\(\d+\) ", p)
     pair = [b for b in blocks if b.startswith(("SortMergeJoin",
                                                "ShuffledHashJoin"))
-            and "0.35" in b]
-    assert pair, "pair-scan join not found"
-    assert all(re.search(r"Left keys \[\d+\]: \[centroid_id", b)
-               for b in pair)
+            and re.search(r"Left keys \[\d+\]: \[centroid_id", b)
+            and re.search(r"Join condition: \(_lo#\d+L? < _hi#\d+L?\)", b)]
+    assert pair, "cluster-scoped pair-scan join not found"
+    thresh = [b for b in blocks if b.startswith("Filter")
+              and "0.35" in b and "pythonUDF" in b]
+    assert thresh, "threshold filter not applied to the scored pairs"

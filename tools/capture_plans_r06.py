@@ -48,7 +48,7 @@ def main() -> None:
     # only, no execution) ---------------------------------------------------
     for name in ("tpch_q1_pricing", "region_revenue_rollup",
                  "top_orders_per_customer", "doc_exact_dedup",
-                 "doc_length_stats"):
+                 "doc_length_stats", "cdc_distribution"):
         dump(name, EQ.QUERIES[name](spark, SF))
 
     # --- chunk throughput shape (what bench.py counts) ---------------------
