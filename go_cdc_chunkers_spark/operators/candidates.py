@@ -321,11 +321,19 @@ def containment_pass(
     verified: DataFrame,
     clips: DataFrame,
     text_col: str = "transcript",
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """P9: exact transcript containment for verified pairs, via a suffix
     array built per pair inside a grouped pandas UDF (mapInPandas). Only the
     already-verified candidate set flows through Python -- by then the data
-    is tiny relative to the corpus."""
+    is tiny relative to the corpus.
+
+    `n_pairs`: exact row count of `verified` when the caller already knows
+    it (the pipeline reads it from the verified stage's parquet footers --
+    no extra job). Sizes the explicit repartition to the actual work
+    instead of a fixed shuffle.partitions width: a small verified set stops
+    paying shuffle.partitions near-empty Python tasks of pure scheduler
+    latency, while large sets keep the full width."""
     import pandas as pd
 
     t = clips.select(F.col("clip_id"), F.col(text_col).alias("_t"))
@@ -341,6 +349,15 @@ def containment_pass(
     # local[8]. Explicit (n, keys) hash repartitioning is exempt from AQE
     # coalescing; hashing on the distinct pair key balances rows.
     n_parts = int(joined.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_pairs is not None:
+        # Scale-adaptive width (still explicit, still AQE-exempt): target
+        # ~512 pairs per task -- small enough that one task of the
+        # worst-case long-document SA work stays subsecond-scale, large
+        # enough that a tiny verified set (hundreds of pairs) runs as ONE
+        # task instead of shuffle.partitions empty ones. Clamped to the
+        # configured width so big corpora keep exactly today's behavior
+        # (233k pairs -> ceil/512 = 456 -> clamped back to n_parts).
+        n_parts = max(1, min(n_parts, -(-int(n_pairs) // 512)))
     joined = joined.repartition(n_parts, "a", "b")
 
     schema = ", ".join(

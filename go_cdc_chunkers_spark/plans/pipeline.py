@@ -484,10 +484,14 @@ class Pipeline:
                 hamming_threshold=cfg.hamming_threshold,
             ),
         )
-        contained = self.stage(
-            "containment",
-            lambda: cand_ops.containment_pass(verified, clips),
-        )
+        def build_containment():
+            # exact verified-pair count from the finished stage's parquet
+            # footers (driver-side, no Spark job) sizes the containment
+            # stage's Python parallelism to the actual work
+            n_pairs, _, _ = self._parquet_meta(self._path("verified"))
+            return cand_ops.containment_pass(verified, clips, n_pairs=n_pairs)
+
+        contained = self.stage("containment", build_containment)
         edges = contained.filter(F.col("is_dup") | F.col("containment")).select("a", "b")
         if extra_edges is not None:
             edges = edges.unionByName(extra_edges.select("a", "b")).distinct()

@@ -221,3 +221,25 @@ def test_containment_stage_pins_explicit_repartition(spark, clips):
     # coalescing), and the Python stage must sit above it
     assert f", {n_parts})" in p
     assert p.count("MapInPandas") == 1
+
+
+def test_containment_stage_adaptive_width_from_pair_count(spark, clips):
+    """With the exact pair count hinted (the pipeline reads it from the
+    verified stage's parquet footers), the explicit repartition sizes to
+    ~512 pairs/task instead of a fixed shuffle.partitions width: a tiny
+    verified set runs as ONE Python task (no near-empty-task scheduler
+    latency), while a large count clamps back to the configured width."""
+    t = clips.withColumn("transcript", F.concat(F.lit("words for "), "clip_id"))
+    verified = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(10)], "a string, b string")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    p_small = plan(cand_ops.containment_pass(verified, t, n_pairs=10))
+    # width 1 plans as a SinglePartition exchange (hashing into one
+    # partition is degenerate, Catalyst drops the hashpartitioning)
+    assert "SinglePartition" in p_small
+    assert f"hashpartitioning(a#" not in p_small or f", {n_parts})" not in p_small
+    assert p_small.count("MapInPandas") == 1
+
+    p_big = plan(cand_ops.containment_pass(verified, t, n_pairs=512 * n_parts * 4))
+    assert f", {n_parts})" in p_big  # clamped to the configured width
